@@ -1,0 +1,158 @@
+"""DINO/Mugs-style Vision Transformer in flax (ViT-B/14 and friends).
+
+Architecture-equivalent to the reference's timm-style ViT
+(multimodal/vision_transformer_dino_mugs.py:170-298): pre-norm blocks,
+qkv_bias, GELU MLP (ratio 4), LayerNorm eps 1e-6, CLS token, learned absolute
+positional embeddings with bicubic interpolation for off-grid input sizes.
+
+TPU-first: attention runs as batched einsums that XLA tiles onto the MXU
+(257 tokens x 12 heads x 64 head-dim at ViT-B scale); the backbone is frozen
+in the CVCL recipe so only the forward pass matters and is wrapped in
+``stop_gradient`` upstream.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, return_attention: bool = False):
+        B, N, C = x.shape
+        H = self.num_heads
+        head_dim = C // H
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        if return_attention:
+            return attn
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, name="proj")(y)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, return_attention: bool = False):
+        ln = partial(nn.LayerNorm, epsilon=1e-6)
+        y = ln(name="norm1")(x)
+        if return_attention:
+            return ViTAttention(self.dim, self.num_heads, self.qkv_bias,
+                                name="attn")(y, return_attention=True)
+        x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
+                             name="attn")(y)
+        h = ln(name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="fc2")(h)
+        return x + h
+
+
+class VisionTransformerDino(nn.Module):
+    patch_size: int = 14
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    base_img_size: int = 224  # grid size the pos_embed was trained at
+
+    def setup(self):
+        self.patch_proj = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            name="patch_embed")
+        n = (self.base_img_size // self.patch_size) ** 2
+        init = nn.initializers.truncated_normal(stddev=0.02, lower=-2, upper=2)
+        self.cls_token = self.param("cls_token", init, (1, 1, self.embed_dim))
+        self.pos_embed = self.param(
+            "pos_embed", init, (1, n + 1, self.embed_dim))
+        self.blocks = [
+            ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
+                     self.qkv_bias, name=f"block{i}")
+            for i in range(self.depth)]
+        self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+
+    def _interpolate_pos_encoding(self, npatch: int, w: int, h: int):
+        """Bicubic pos-embed interpolation for off-grid inputs
+        (reference: vision_transformer_dino_mugs.py:210-230)."""
+        N = self.pos_embed.shape[1] - 1
+        if npatch == N and w == h:
+            return self.pos_embed
+        cls_pos = self.pos_embed[:, :1]
+        patch_pos = self.pos_embed[:, 1:]
+        dim = self.pos_embed.shape[-1]
+        side = int(math.sqrt(N))
+        w0, h0 = w // self.patch_size, h // self.patch_size
+        patch_pos = jax.image.resize(
+            patch_pos.reshape(1, side, side, dim), (1, w0, h0, dim),
+            method="bicubic").reshape(1, -1, dim)
+        return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+    def prepare_tokens(self, x: jax.Array) -> jax.Array:
+        """x: [B, H, W, 3] NHWC -> [B, 1 + npatch, E]."""
+        B, H, W, _ = x.shape
+        patches = self.patch_proj(x).reshape(B, -1, self.embed_dim)
+        cls = jnp.broadcast_to(self.cls_token, (B, 1, self.embed_dim))
+        tokens = jnp.concatenate([cls, patches], axis=1)
+        return tokens + self._interpolate_pos_encoding(
+            patches.shape[1], H, W)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Returns the CLS feature [B, E] after the final norm
+        (reference forward: vision_transformer_dino_mugs.py:245-250)."""
+        tokens = self.prepare_tokens(x)
+        for blk in self.blocks:
+            tokens = blk(tokens)
+        return self.norm(tokens)[:, 0]
+
+    def get_last_selfattention(self, x: jax.Array) -> jax.Array:
+        tokens = self.prepare_tokens(x)
+        for blk in self.blocks[:-1]:
+            tokens = blk(tokens)
+        return self.blocks[-1](tokens, return_attention=True)
+
+    def get_intermediate_layers(self, x: jax.Array, n: int = 1
+                                ) -> List[jax.Array]:
+        tokens = self.prepare_tokens(x)
+        out = []
+        for i, blk in enumerate(self.blocks):
+            tokens = blk(tokens)
+            if self.depth - i <= n:
+                out.append(self.norm(tokens))
+        return out
+
+
+def vit_base(patch_size: int = 14) -> VisionTransformerDino:
+    return VisionTransformerDino(
+        patch_size=patch_size, embed_dim=768, depth=12, num_heads=12)
+
+
+def vit_small(patch_size: int = 16) -> VisionTransformerDino:
+    return VisionTransformerDino(
+        patch_size=patch_size, embed_dim=384, depth=12, num_heads=6)
+
+
+def vit_large(patch_size: int = 16) -> VisionTransformerDino:
+    return VisionTransformerDino(
+        patch_size=patch_size, embed_dim=1024, depth=24, num_heads=16)

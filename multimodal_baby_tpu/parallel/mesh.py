@@ -1,0 +1,96 @@
+"""Device mesh and sharding helpers.
+
+The framework scales with a 2D ``jax.sharding.Mesh``:
+
+- ``data`` axis: batch sharding; gradients are reduced with an XLA ``psum``
+  over ICI (inserted automatically by the partitioner under jit).
+- ``model`` axis: tensor parallelism for the vocab-sharded embedding/LM head
+  and feature-sharded projections. The reference model is small (512-dim) so
+  TP is off by default, but the axis exists so the same code scales.
+
+No reference counterpart: the reference trains single-GPU with no distributed
+backend (SURVEY.md section 2.4); this module is the TPU-native replacement for
+"what DDP would have been".
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_baby_tpu.core.constants import DATA_AXIS, MODEL_AXIS
+
+
+def create_mesh(
+    mesh_shape: Tuple[int, int] = (-1, 1),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``-1`` in either coordinate means "all remaining devices". On real
+    multi-chip hardware, ``jax.devices()`` ordering already follows the
+    physical torus so adjacent mesh coordinates ride ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    n = devices.size
+    d, m = mesh_shape
+    if d == -1 and m == -1:
+        raise ValueError("at most one mesh axis may be -1")
+    if d == -1:
+        d = n // m
+    if m == -1:
+        m = n // d
+    if d * m != n:
+        raise ValueError(f"mesh shape {(d, m)} does not cover {n} devices")
+    return Mesh(devices.reshape(d, m), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: leading dim over the data axis, rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch, sharded along the leading axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def param_pspec(path: Tuple[str, ...], leaf) -> P:
+    """Partition spec for a parameter leaf.
+
+    Default is fully replicated. Vocab-sharded layers (token embedding and the
+    tied LM output head) split the vocab dim across the model axis when it is
+    larger than 1 — the one genuinely TP-profitable layer at CVCL scale since
+    vocab (2350) >> embedding_dim (512).
+    """
+    names = [str(p) for p in path]
+    if any("token_embedding" in n for n in names) and getattr(leaf, "ndim", 0) == 2:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def make_param_shardings(mesh: Mesh, params):
+    """NamedShardings for a param pytree (replicated unless vocab-sharded)."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        rep = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    def spec_for(path, leaf):
+        return NamedSharding(mesh, param_pspec(tuple(str(k) for k in path), leaf))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

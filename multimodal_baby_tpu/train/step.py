@@ -1,0 +1,197 @@
+"""Jitted train / eval steps over the device mesh.
+
+TPU-native scaling design (SURVEY.md section 2.4 / 5.8 — new capability, the
+reference is single-GPU):
+
+- The batch is sharded over the ``data`` mesh axis; parameters are replicated
+  (vocab-sharded over ``model`` when TP is on). Everything below is ONE jit:
+  XLA inserts the all-gather for the global B x B InfoNCE matrix and the
+  gradient psum over ICI automatically from the shardings.
+- **Global-batch negatives** (default): the InfoNCE negative pool is the
+  global batch — the BASELINE.json north star.
+- **Per-shard negatives** (``global_batch_negatives=False``): a ``shard_map``
+  computes an independent InfoNCE per data shard and averages the losses.
+  This preserves the reference's small-batch learning recipe (bs 8 per
+  "virtual GPU") exactly while still filling the chip — recipe-parity mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_baby_tpu.core.config import ExperimentConfig
+from multimodal_baby_tpu.core.constants import DATA_AXIS
+from multimodal_baby_tpu.models import losses as L
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def init_train_state(model, cfg: ExperimentConfig, optimizer, rng,
+                     sample_batch) -> TrainState:
+    variables = model.init(
+        rng, sample_batch["image"], sample_batch["text"],
+        sample_batch["text_len"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    return TrainState(params, batch_stats, opt_state,
+                      jax.random.fold_in(rng, 1), jnp.zeros((), jnp.int32))
+
+
+def _infonce(logits_per_image, logits_per_text, metrics_out):
+    infonce, m = L.contrastive_loss_from_logits(
+        logits_per_image, logits_per_text)
+    metrics_out.update(m)
+    return infonce
+
+
+def make_loss_fn(model, cfg: ExperimentConfig,
+                 mesh: Optional[Mesh] = None) -> Callable:
+    """Builds loss_fn(params, batch_stats, batch, rng, train) ->
+    (loss, (metrics, new_batch_stats))."""
+    t = cfg.train
+    use_mm = bool(t.lambda_mm) or not t.optimize_unused
+    use_lm = bool(t.lambda_lm) or not t.optimize_unused
+    has_attention = cfg.model.text.attention
+    per_shard = (not cfg.parallel.global_batch_negatives and mesh is not None
+                 and mesh.shape[DATA_AXIS] > 1)
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=train, use_mm=use_mm, use_lm=use_lm)
+        if train:
+            out, updated = model.apply(
+                variables, batch["image"], batch["text"], batch["text_len"],
+                method="joint_forward", mutable=["batch_stats"],
+                rngs={"dropout": rng}, **kwargs)
+            new_batch_stats = updated.get("batch_stats", batch_stats)
+        else:
+            out = model.apply(
+                variables, batch["image"], batch["text"], batch["text_len"],
+                method="joint_forward", **kwargs)
+            new_batch_stats = batch_stats
+
+        metrics: Dict[str, jax.Array] = {
+            "batch_size": jnp.asarray(batch["image"].shape[0], jnp.float32),
+            "temperature": jnp.exp(-out["logit_neg_log_temperature"]),
+        }
+
+        infonce = 0.0
+        if use_mm:
+            if per_shard:
+                # independent InfoNCE per data shard (recipe-parity mode)
+                infonce = _per_shard_infonce(mesh, out, metrics)
+            else:
+                infonce = _infonce(out["logits_per_image"],
+                                   out["logits_per_text"], metrics)
+            metrics["infonce_loss"] = infonce
+
+        lm_ce = 0.0
+        attn_reg = 0.0
+        if use_lm:
+            ce, _ = L.lm_cross_entropy(out["lm_logits"], out["lm_labels"])
+            breakdown = L.lm_loss_breakdown(ce, out["lm_labels"])
+            metrics.update(breakdown)
+            lm_ce = breakdown["ce_loss"]
+            if has_attention and out.get("attns") is not None:
+                attn_reg = L.attn_reg_loss(out["attns"])
+                metrics["attn_reg_loss"] = attn_reg
+
+        loss = (t.lambda_mm * infonce + t.lambda_lm * lm_ce
+                + t.lambda_ar * attn_reg)
+        metrics["loss"] = loss
+        return loss, (metrics, new_batch_stats)
+
+    return loss_fn
+
+
+def _per_shard_infonce(mesh, out, metrics):
+    """Per-data-shard InfoNCE via shard_map: each shard's B_local x B_local
+    block is an independent contrastive problem (reference bs-8 recipe at
+    full-chip throughput)."""
+    from jax import shard_map
+
+    lpi = out["logits_per_image"]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None),),
+        out_specs=(P(), P(), P()),
+    )
+    def local_infonce(lpi_rows):
+        # lpi_rows: [B_local, B_global]; take the diagonal block
+        idx = jax.lax.axis_index(DATA_AXIS)
+        b_local = lpi_rows.shape[0]
+        block = jax.lax.dynamic_slice_in_dim(
+            lpi_rows, idx * b_local, b_local, axis=1)
+        m: Dict[str, jax.Array] = {}
+        loss = _infonce(block, block.T, m)
+        # mean across shards
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        acc_i = jax.lax.pmean(m["image_accuracy"], DATA_AXIS)
+        acc_t = jax.lax.pmean(m["text_accuracy"], DATA_AXIS)
+        return loss, acc_i, acc_t
+
+    loss, acc_i, acc_t = local_infonce(lpi)
+    metrics["image_accuracy"] = acc_i
+    metrics["text_accuracy"] = acc_t
+    metrics["image_entropy"] = jnp.zeros(())  # not tracked per-shard
+    metrics["text_entropy"] = jnp.zeros(())
+    return loss
+
+
+def make_train_step(model, cfg: ExperimentConfig, optimizer,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics)."""
+    loss_fn = make_loss_fn(model, cfg, mesh)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, step_rng, True)
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_bs, new_opt, rng,
+                               state.step + 1)
+        return new_state, metrics
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        rep = NamedSharding(mesh, P())
+        batch_shardings = {
+            "image": batch_sharding, "text": batch_sharding,
+            "text_len": batch_sharding}
+        return jax.jit(
+            train_step,
+            in_shardings=(None, batch_shardings),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: ExperimentConfig,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Validation-split step: joint loss + metrics, no grads, f32-stable."""
+    loss_fn = make_loss_fn(model, cfg, mesh)
+
+    def eval_step(params, batch_stats, batch) -> Dict:
+        _, (metrics, _) = loss_fn(
+            params, batch_stats, batch, jax.random.PRNGKey(0), False)
+        return metrics
+
+    return jax.jit(eval_step)
