@@ -260,3 +260,79 @@ class CVCL(nn.Module):
     def project_feature_map(self, image_feature_map):
         return self.text_encoder.attention.project_encoder_features(
             image_feature_map)
+
+    def beam_search_decode(
+        self,
+        batch_size: int,
+        beam_width: int = 3,
+        decode_length: int = 25,
+        length_penalty_alpha: float = 0.0,
+        image_features: Optional[jax.Array] = None,
+        image_feature_map: Optional[jax.Array] = None,
+    ):
+        """Beam-search text generation (reference LanguageModel
+        .beam_search_decode, multimodal.py:893-960), as one jittable
+        while_loop. Param arrays are read up front so the step closure is a
+        pure function (module calls can't run inside lax loops)."""
+        from multimodal_baby_tpu.core.constants import (
+            EOS_TOKEN_ID, SOS_TOKEN_ID)
+        from multimodal_baby_tpu.models.attention import additive_attention
+        from multimodal_baby_tpu.models.beam_search import beam_search
+        from multimodal_baby_tpu.models.layers import (
+            lstm_step, padding_safe_embed)
+
+        t = self.cfg.text
+        assert t.regressional, \
+            "only regressional text encoder supports beam search decoding"
+
+        h0, c0 = self.init_decode_states(batch_size, image_features)
+        p = self.text_encoder.lstm_fwd
+        wih, whh, bih, bhh = p.weight_ih, p.weight_hh, p.bias_ih, p.bias_hh
+        table = self.text_encoder.token_embedding
+        lm_kernel = table.T if self.cfg.tie else self.lm_kernel
+        lm_bias = self.lm_bias if self.cfg.bias else None
+        E = self.cfg.embedding_dim
+
+        use_attention = t.attention and image_feature_map is not None
+        if use_attention:
+            proj_map = self.project_feature_map(image_feature_map)
+            d_enc = image_feature_map.shape[-1]
+            enc_flat = image_feature_map.reshape(batch_size, -1, d_enc)
+            proj_flat = proj_map.reshape(batch_size, -1, E)
+            dec_k = self.text_encoder.attention.decoder_projection.kernel
+            dec_b = self.text_encoder.attention.decoder_projection.bias
+            attn_k = self.text_encoder.attention.attn_layer.kernel
+            attn_b = self.text_encoder.attention.attn_layer.bias
+            activation = t.attention_activation
+            if t.attention_gate:
+                gate_k = self.text_encoder.attention_gate_projection.kernel
+                gate_b = self.text_encoder.attention_gate_projection.bias
+            states = (h0, c0, enc_flat, proj_flat)
+        else:
+            states = (h0, c0)
+
+        def step(ids, states):
+            if use_attention:
+                h, c, enc, proj = states
+            else:
+                h, c = states
+            inp = padding_safe_embed(table, ids)
+            if use_attention:
+                attn_feature, _ = additive_attention(
+                    enc, proj, h, dec_k, dec_b, attn_k, attn_b, activation)
+                if t.attention_gate:
+                    gate = jax.nn.sigmoid(h @ gate_k + gate_b)
+                    attn_feature = gate * attn_feature
+                inp = jnp.concatenate([inp, attn_feature], axis=-1)
+            h, c = lstm_step(wih, whh, bih, bhh, inp, h, c)
+            logits = h @ lm_kernel
+            if lm_bias is not None:
+                logits = logits + lm_bias
+            new_states = (h, c, enc, proj) if use_attention else (h, c)
+            return logits, new_states
+
+        start = jnp.full((batch_size,), SOS_TOKEN_ID, jnp.int32)
+        return beam_search(
+            step, start, beam_width, decode_length,
+            self.cfg.vocab_size, length_penalty_alpha,
+            states=states, eos_id=EOS_TOKEN_ID)

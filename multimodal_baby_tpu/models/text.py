@@ -103,6 +103,11 @@ class TextEncoder(nn.Module):
                     image_features: Optional[jax.Array] = None):
         """Returns (h0, c0), each [num_directions, B, H]."""
         d, H = self.num_directions, self.hidden_dim
+        if self.cfg.text.captioning and image_features is None:
+            # touch the connector so its params are registered even on the
+            # unconditioned path (torch creates params eagerly; flax lazily).
+            # The zeros call is dead code XLA eliminates.
+            _ = self.connector(jnp.zeros((1, self.cfg.embedding_dim)))
         if image_features is not None:
             if image_features.ndim > 2:  # spatial map [B, h, w, E]
                 image_features = image_features.mean(axis=(1, 2))
