@@ -1,0 +1,141 @@
+"""Headline benchmark: image-text pairs/sec/chip, train + encode.
+
+Flagship config = the published CVCL recipe (frozen DINO ResNeXt-50 +
+embedding text encoder, 512-d, fixed temperature 0.07, normalized features;
+runner_config/saycam_contrastive.py in the reference). The measured step is
+the FULL training pipeline from raw uint8 frames:
+
+  on-device augment (random-resized-crop + blur + flip + normalize)
+  -> bf16 ResNeXt-50 forward -> text encode -> global-batch InfoNCE
+  -> backward through the trainable heads -> AdamW update
+
+K steps are folded into one jit (lax.scan) so the tunneled-TPU dispatch
+latency doesn't pollute the measurement; timing uses block_until_ready.
+
+Baseline: the reference (PyTorch Lightning, PIL host pipeline) has no
+published throughput (BASELINE.md). BASELINE.json's target is >=5x an A100
+running the reference workload; we anchor the A100 estimate at 2500
+pairs/s/chip (frozen ResNeXt-50 fwd at TF32, generous to the reference),
+so vs_baseline = value / 2500 and the target is vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_baby_tpu.core.config import (
+    ExperimentConfig, ModelConfig, ParallelConfig, TextConfig, TrainConfig,
+    VisionConfig)
+from multimodal_baby_tpu.core.constants import MAX_LEN_UTTERANCE
+from multimodal_baby_tpu.data.augment import augment_batch
+from multimodal_baby_tpu.models import CVCL
+from multimodal_baby_tpu.models.losses import contrastive_loss_from_logits
+from multimodal_baby_tpu.train import build_optimizer
+
+A100_BASELINE_PAIRS_PER_SEC = 2500.0
+
+BATCH = 256
+STEPS_PER_CALL = 10
+WARMUP_CALLS = 2
+TIMED_CALLS = 5
+VOCAB = 2350
+
+
+def make_batch(rng, b):
+    images = rng.randint(0, 256, (b, 224, 224, 3), np.uint8)
+    text = np.zeros((b, MAX_LEN_UTTERANCE), np.int32)
+    lens = rng.randint(1, MAX_LEN_UTTERANCE - 1, b)
+    text[:, 0] = 2
+    for i, n in enumerate(lens):
+        text[i, 1:1 + n] = rng.randint(4, VOCAB, n)
+        text[i, 1 + n] = 3
+    return {
+        "image_u8": jnp.asarray(images),
+        "text": jnp.asarray(text),
+        "text_len": jnp.asarray((lens + 2).astype(np.int32)),
+    }
+
+
+def main():
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            embedding_dim=512, vocab_size=VOCAB, embedding_type="flat",
+            normalize_features=True, fix_temperature=True, temperature=0.07,
+            vision=VisionConfig(cnn_dino=True),
+            text=TextConfig(text_encoder="embedding")),
+        train=TrainConfig(optimizer="AdamW", lr=1e-4, weight_decay=0.1),
+        parallel=ParallelConfig())
+
+    model = CVCL(cfg.model, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, BATCH)
+
+    init_img = augment_batch(jax.random.PRNGKey(0), batch["image_u8"],
+                             augment=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), init_img, batch["text"], batch["text_len"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    optimizer = build_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+
+    def one_step(carry, key):
+        params, batch_stats, opt_state = carry
+        imgs = augment_batch(key, batch["image_u8"], augment=True)
+
+        def loss_fn(p):
+            (lpi, lpt), upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs, batch["text"], batch["text_len"], train=True,
+                mutable=["batch_stats"])
+            loss, _ = contrastive_loss_from_logits(lpi, lpt)
+            return loss, upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_bs, new_opt), loss
+
+    @jax.jit
+    def run_k_steps(params, batch_stats, opt_state, key):
+        keys = jax.random.split(key, STEPS_PER_CALL)
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            one_step, (params, batch_stats, opt_state), keys)
+        return params, batch_stats, opt_state, losses[-1]
+
+    key = jax.random.PRNGKey(42)
+    for i in range(WARMUP_CALLS):
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, loss = run_k_steps(
+            params, batch_stats, opt_state, k)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_CALLS):
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, loss = run_k_steps(
+            params, batch_stats, opt_state, k)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_pairs = BATCH * STEPS_PER_CALL * TIMED_CALLS
+    pairs_per_sec = n_pairs / dt
+    n_chips = max(1, len(jax.devices()))
+    value = pairs_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "image-text pairs/sec/chip (train+encode)",
+        "value": round(value, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / A100_BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ Similarity modes (multimodal.py:751-780), translated to NHWC layout:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,9 +53,12 @@ def spatial_similarity(
 
 class CVCL(nn.Module):
     cfg: ModelConfig
+    # compute dtype for the vision trunk (where ~all FLOPs are); params stay
+    # f32, logits/losses are f32. None = full f32 (embedding-parity mode).
+    dtype: Any = None
 
     def setup(self):
-        self.vision_encoder = VisionEncoder(self.cfg)
+        self.vision_encoder = VisionEncoder(self.cfg, dtype=self.dtype)
         self.text_encoder = TextEncoder(
             self.cfg, image_feature_map_dim=self.cfg.vision.last_out_dim)
 

@@ -13,7 +13,7 @@ reference's ``requires_grad=False`` loop (multimodal.py:39-43).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,7 @@ class TinyConvNet(nn.Module):
 
 class VisionEncoder(nn.Module):
     cfg: ModelConfig
+    dtype: Any = None  # compute dtype for the trunk (bf16 on hot path)
 
     @property
     def last_out_dim(self) -> int:
@@ -53,9 +54,9 @@ class VisionEncoder(nn.Module):
         if v.backbone == "toy":
             self.backbone = TinyConvNet(name="backbone")
         elif v.vit_dino:
-            self.backbone = vit_base(patch_size=14)
+            self.backbone = vit_base(patch_size=14, dtype=self.dtype)
         else:
-            self.backbone = ResNeXt50(name="backbone")
+            self.backbone = ResNeXt50(name="backbone", dtype=self.dtype)
 
         if self.cfg.embedding_type == "flat":
             self.head = TorchLinear(self.last_out_dim, self.cfg.embedding_dim)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import flax.linen as nn
 import jax
@@ -26,6 +26,7 @@ class ViTAttention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False):
@@ -34,7 +35,8 @@ class ViTAttention(nn.Module):
         head_dim = C // H
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv",
+                       dtype=self.dtype)(x)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
@@ -43,7 +45,7 @@ class ViTAttention(nn.Module):
         if return_attention:
             return attn
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
-        return nn.Dense(C, name="proj")(y)
+        return nn.Dense(C, name="proj", dtype=self.dtype)(y)
 
 
 class ViTBlock(nn.Module):
@@ -51,20 +53,23 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False):
-        ln = partial(nn.LayerNorm, epsilon=1e-6)
+        ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype)
         y = ln(name="norm1")(x)
         if return_attention:
             return ViTAttention(self.dim, self.num_heads, self.qkv_bias,
-                                name="attn")(y, return_attention=True)
+                                self.dtype, name="attn")(
+                                    y, return_attention=True)
         x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
-                             name="attn")(y)
+                             self.dtype, name="attn")(y)
         h = ln(name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1",
+                     dtype=self.dtype)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="fc2")(h)
+        h = nn.Dense(self.dim, name="fc2", dtype=self.dtype)(h)
         return x + h
 
 
@@ -76,12 +81,13 @@ class VisionTransformerDino(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     base_img_size: int = 224  # grid size the pos_embed was trained at
+    dtype: Any = None  # compute dtype (params stay f32)
 
     def setup(self):
         self.patch_proj = nn.Conv(
             self.embed_dim, (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size), padding="VALID",
-            name="patch_embed")
+            name="patch_embed", dtype=self.dtype)
         n = (self.base_img_size // self.patch_size) ** 2
         init = nn.initializers.truncated_normal(stddev=0.02, lower=-2, upper=2)
         self.cls_token = self.param("cls_token", init, (1, 1, self.embed_dim))
@@ -89,9 +95,10 @@ class VisionTransformerDino(nn.Module):
             "pos_embed", init, (1, n + 1, self.embed_dim))
         self.blocks = [
             ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                     self.qkv_bias, name=f"block{i}")
+                     self.qkv_bias, self.dtype, name=f"block{i}")
             for i in range(self.depth)]
-        self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-6, name="norm",
+                                 dtype=self.dtype)
 
     def _interpolate_pos_encoding(self, npatch: int, w: int, h: int):
         """Bicubic pos-embed interpolation for off-grid inputs
@@ -124,7 +131,7 @@ class VisionTransformerDino(nn.Module):
         tokens = self.prepare_tokens(x)
         for blk in self.blocks:
             tokens = blk(tokens)
-        return self.norm(tokens)[:, 0]
+        return self.norm(tokens)[:, 0].astype(jnp.float32)
 
     def get_last_selfattention(self, x: jax.Array) -> jax.Array:
         tokens = self.prepare_tokens(x)
@@ -143,16 +150,19 @@ class VisionTransformerDino(nn.Module):
         return out
 
 
-def vit_base(patch_size: int = 14) -> VisionTransformerDino:
+def vit_base(patch_size: int = 14, dtype=None) -> VisionTransformerDino:
     return VisionTransformerDino(
-        patch_size=patch_size, embed_dim=768, depth=12, num_heads=12)
+        patch_size=patch_size, embed_dim=768, depth=12, num_heads=12,
+        dtype=dtype)
 
 
-def vit_small(patch_size: int = 16) -> VisionTransformerDino:
+def vit_small(patch_size: int = 16, dtype=None) -> VisionTransformerDino:
     return VisionTransformerDino(
-        patch_size=patch_size, embed_dim=384, depth=12, num_heads=6)
+        patch_size=patch_size, embed_dim=384, depth=12, num_heads=6,
+        dtype=dtype)
 
 
-def vit_large(patch_size: int = 16) -> VisionTransformerDino:
+def vit_large(patch_size: int = 16, dtype=None) -> VisionTransformerDino:
     return VisionTransformerDino(
-        patch_size=patch_size, embed_dim=1024, depth=24, num_heads=16)
+        patch_size=patch_size, embed_dim=1024, depth=24, num_heads=16,
+        dtype=dtype)
