@@ -68,23 +68,36 @@ def make_loss_fn(model, cfg: ExperimentConfig,
     per_shard = (not cfg.parallel.global_batch_negatives and mesh is not None
                  and mesh.shape[DATA_AXIS] > 1)
 
+    augment_frames = cfg.data.augment_frames
+
     def loss_fn(params, batch_stats, batch, rng, train: bool):
+        rng_aug, rng_drop = jax.random.split(rng)
+        if "image" in batch:
+            image = batch["image"]
+        else:
+            # raw uint8 from the host loader: augmentation + normalization
+            # run on-device inside this jit (data/augment.py)
+            from multimodal_baby_tpu.data.augment import augment_batch
+            image = augment_batch(
+                rng_aug, batch["image_u8"],
+                augment=augment_frames and train)
+
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train, use_mm=use_mm, use_lm=use_lm)
         if train:
             out, updated = model.apply(
-                variables, batch["image"], batch["text"], batch["text_len"],
+                variables, image, batch["text"], batch["text_len"],
                 method="joint_forward", mutable=["batch_stats"],
-                rngs={"dropout": rng}, **kwargs)
+                rngs={"dropout": rng_drop}, **kwargs)
             new_batch_stats = updated.get("batch_stats", batch_stats)
         else:
             out = model.apply(
-                variables, batch["image"], batch["text"], batch["text_len"],
+                variables, image, batch["text"], batch["text_len"],
                 method="joint_forward", **kwargs)
             new_batch_stats = batch_stats
 
         metrics: Dict[str, jax.Array] = {
-            "batch_size": jnp.asarray(batch["image"].shape[0], jnp.float32),
+            "batch_size": jnp.asarray(image.shape[0], jnp.float32),
             "temperature": jnp.exp(-out["logit_neg_log_temperature"]),
         }
 
@@ -170,17 +183,8 @@ def make_train_step(model, cfg: ExperimentConfig, optimizer,
                                state.step + 1)
         return new_state, metrics
 
-    if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        rep = NamedSharding(mesh, P())
-        batch_shardings = {
-            "image": batch_sharding, "text": batch_sharding,
-            "text_len": batch_sharding}
-        return jax.jit(
-            train_step,
-            in_shardings=(None, batch_shardings),
-            donate_argnums=(0,) if donate else (),
-        )
+    # batch placement/sharding is the caller's job (parallel.shard_batch);
+    # the jit partitions the computation from the argument shardings
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
