@@ -128,6 +128,21 @@ def lstm_gates(pre: jax.Array, h_dim: int) -> Tuple[jax.Array, ...]:
             jax.nn.sigmoid(o))
 
 
+def _use_fused_lstm(x_proj_shape, h_dim: int) -> bool:
+    """Dispatch to the Pallas recurrence kernel on TPU when the per-step
+    working set fits VMEM (~16 MB/core)."""
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    B = x_proj_shape[0]
+    h4 = x_proj_shape[-1]
+    # x block + out block + 2 carries + W_hh, all f32
+    working = (B * h4 + B * h_dim * 3 + h_dim * h4) * 4
+    return working < 12 * 1024 * 1024 and B % 8 == 0 and h_dim % 128 == 0
+
+
 def lstm_scan(
     weight_ih: jax.Array,
     weight_hh: jax.Array,
@@ -148,6 +163,16 @@ def lstm_scan(
     h_dim = h0.shape[-1]
     # hoist the input projection out of the recurrence: one MXU matmul
     x_proj = jnp.einsum("ble,eh->blh", x, weight_ih) + bias_ih + bias_hh
+
+    if _use_fused_lstm(x_proj.shape, h_dim):
+        # Pallas kernel: recurrence carries stay in VMEM (ops/lstm.py)
+        from multimodal_baby_tpu.ops.lstm import lstm_fused
+        out_tm, h_last, c_last = lstm_fused(
+            jnp.swapaxes(x_proj, 0, 1).astype(jnp.float32),
+            jnp.swapaxes(mask, 0, 1).astype(jnp.float32),
+            weight_hh.astype(jnp.float32),
+            h0.astype(jnp.float32), c0.astype(jnp.float32))
+        return jnp.swapaxes(out_tm, 0, 1), h_last, c_last
 
     def step(carry, inp):
         h, c = carry

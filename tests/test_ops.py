@@ -1,0 +1,66 @@
+"""Pallas kernels vs XLA references (interpreter mode on CPU; the same
+kernels compile natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_baby_tpu.models.losses import contrastive_loss_from_logits
+from multimodal_baby_tpu.ops.infonce import fused_infonce
+from multimodal_baby_tpu.ops.lstm import _scan_reference, lstm_fused
+
+
+def xla_infonce(img, txt, nlt):
+    logits = jnp.exp(nlt) * (img @ txt.T)
+    return contrastive_loss_from_logits(logits, logits.T)[0]
+
+
+@pytest.mark.parametrize("B,E", [(16, 32), (64, 128)])
+def test_fused_infonce_forward_and_grads(B, E):
+    rng = np.random.RandomState(B)
+    img = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    txt = jnp.asarray(rng.randn(B, E).astype(np.float32))
+    nlt = jnp.asarray(np.log(1 / 0.07), jnp.float32)
+
+    np.testing.assert_allclose(
+        float(fused_infonce(img, txt, nlt)),
+        float(xla_infonce(img, txt, nlt)), rtol=1e-5)
+
+    gf = jax.grad(fused_infonce, argnums=(0, 1, 2))(img, txt, nlt)
+    gx = jax.grad(xla_infonce, argnums=(0, 1, 2))(img, txt, nlt)
+    for name, a, b in zip(("dimg", "dtxt", "dnlt"), gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=name)
+
+
+def test_lstm_fused_matches_scan():
+    rng = np.random.RandomState(0)
+    L, B, H = 9, 8, 16
+    xp = jnp.asarray(rng.randn(L, B, 4 * H).astype(np.float32))
+    lens = rng.randint(1, L + 1, B)
+    mask = jnp.asarray(
+        (np.arange(L)[:, None] < lens[None, :]).astype(np.float32))
+    whh = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+
+    outs_p = lstm_fused(xp, mask, whh, h0, c0)
+    outs_s = _scan_reference(xp, mask, whh, h0, c0)
+    for a, b in zip(outs_p, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(impl):
+        def f(xp, whh, h0, c0):
+            o, h, c = impl(xp, mask, whh, h0, c0)
+            return (o ** 2).sum() + (h * c).sum()
+        return f
+
+    gp = jax.grad(loss(lstm_fused), argnums=(0, 1, 2, 3))(xp, whh, h0, c0)
+    gs = jax.grad(loss(_scan_reference), argnums=(0, 1, 2, 3))(
+        xp, whh, h0, c0)
+    for name, a, b in zip(("dxp", "dwhh", "dh0", "dc0"), gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=name)
