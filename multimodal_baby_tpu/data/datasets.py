@@ -37,7 +37,12 @@ def load_metadata(path) -> List[dict]:
 
 
 def _load_image_uint8(path: str, size: int = IMAGE_H) -> np.ndarray:
-    """Decode to [H, W, 3] uint8 (resized if needed)."""
+    """Decode to [H, W, 3] uint8 (resized if needed). Uses the native C++
+    pipeline (data.native) when built; PIL otherwise."""
+    from multimodal_baby_tpu.data import native
+    out = native.decode_image(path, size)
+    if out is not None:
+        return out
     from PIL import Image
     img = Image.open(path).convert("RGB")
     if img.size != (size, size):

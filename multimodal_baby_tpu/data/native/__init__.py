@@ -1,0 +1,93 @@
+"""ctypes bindings for the native C++ image pipeline.
+
+Compiled on first use with g++ (cached next to the source); everything
+degrades gracefully to the PIL path when the toolchain or libjpeg/libpng
+are absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "image_pipeline.cc"
+_SO = Path(__file__).parent / "_image_pipeline.so"
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_SO), "-ljpeg", "-lpng", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+            lib.decode_image.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int]
+            lib.decode_image.restype = ctypes.c_int
+            lib.decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            lib.decode_batch.restype = ctypes.c_int
+            _LIB = lib
+        except OSError:
+            _LIB = None
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_image(path: str, size: int = 224) -> Optional[np.ndarray]:
+    """Decode + resize one image to [size, size, 3] uint8; None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.decode_image(
+        str(path).encode(), out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), size, size)
+    return out if rc == 0 else None
+
+
+def decode_batch(paths: List[str], size: int = 224,
+                 n_threads: int = 0) -> Optional[np.ndarray]:
+    """Decode + resize a batch -> [N, size, size, 3] uint8 (failed slots
+    zero-filled); None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 4)
+    lib.decode_batch(arr, n,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                     size, size, n_threads)
+    return out

@@ -1,0 +1,79 @@
+"""Native C++ decode pipeline vs PIL."""
+
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_baby_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = {}
+    arr = rng.randint(0, 255, (224, 224, 3), np.uint8)
+    Image.fromarray(arr).save(d / "a.png")
+    paths["png"] = (str(d / "a.png"), arr)
+    Image.fromarray(arr).save(d / "a.jpg", quality=95)
+    paths["jpg"] = (str(d / "a.jpg"),
+                    np.asarray(Image.open(d / "a.jpg").convert("RGB")))
+    big = rng.randint(0, 255, (480, 640, 3), np.uint8)
+    Image.fromarray(big).save(d / "big.png")
+    paths["resize"] = (str(d / "big.png"), big)
+    return paths
+
+
+@pytest.mark.skipif(not native.available(),
+                    reason="native pipeline not built (no g++/libjpeg)")
+def test_png_exact(images):
+    path, arr = images["png"]
+    out = native.decode_image(path, 224)
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_jpeg_matches_pil(images):
+    path, pil_pixels = images["jpg"]
+    out = native.decode_image(path, 224)
+    # both decode through libjpeg; tiny differences possible across
+    # libjpeg build options
+    assert np.abs(out.astype(int) - pil_pixels.astype(int)).mean() < 1.0
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_resize_close_to_pil_bilinear(images):
+    path, big = images["resize"]
+    out = native.decode_image(path, 224)
+    ref = np.asarray(Image.fromarray(big).resize((224, 224),
+                                                 Image.BILINEAR))
+    assert np.abs(out.astype(int) - ref.astype(int)).mean() < 2.0
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_batch_decode(images):
+    paths = [images["png"][0], images["jpg"][0], images["resize"][0],
+             "/nonexistent/file.jpg"]
+    out = native.decode_batch(paths, 224, n_threads=4)
+    assert out.shape == (4, 224, 224, 3)
+    np.testing.assert_array_equal(out[0], images["png"][1])
+    assert (out[3] == 0).all()  # failed decode zero-filled
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_batch_throughput_beats_sequential_pil(images):
+    paths = [images["resize"][0]] * 64
+
+    t0 = time.perf_counter()
+    native.decode_batch(paths, 224)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for p in paths:
+        np.asarray(Image.open(p).convert("RGB").resize(
+            (224, 224), Image.BILINEAR))
+    t_pil = time.perf_counter() - t0
+    # multi-threaded native should comfortably beat sequential PIL
+    assert t_native < t_pil, (t_native, t_pil)
