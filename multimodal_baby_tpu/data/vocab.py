@@ -55,13 +55,17 @@ class Vocab:
 
     @staticmethod
     def build(utterances: Iterable[str], min_freq: int = 3) -> "Vocab":
-        """Build from whitespace-tokenized utterances, frequency >= min_freq
-        (reference: multimodal_saycam_data_module.py:1219-1263)."""
+        """Build from whitespace-tokenized utterances, frequency >= min_freq,
+        ordered by (-frequency, token) after the 4 special tokens — the
+        reference's exact id assignment
+        (multimodal_saycam_data_module.py:1219-1263)."""
         counter: Counter = Counter()
         for utt in utterances:
             counter.update(utt.split())
+        ordered = sorted(counter.most_common(),
+                         key=lambda item: (-item[1], item[0]))
         word2idx = {tok: i for i, tok in enumerate(SPECIAL_TOKENS)}
-        for word, freq in sorted(counter.items()):
+        for word, freq in ordered:
             if freq >= min_freq and word not in word2idx:
                 word2idx[word] = len(word2idx)
         return Vocab(word2idx)
