@@ -1,0 +1,102 @@
+"""CogSci-toolchain processing: run (neural or n-gram) LMs over a dataset
+collecting per-token losses and hidden states, then aggregate per word.
+
+Capability parity with analysis_tools/processing.py:158-249 (per-token
+losses + hidden states), sumdata.py (per-word aggregates) and
+token_items_data.py (token-level records) — rebuilt as batched, jitted
+passes instead of per-example loops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_baby_tpu.core.constants import PAD_TOKEN_ID
+from multimodal_baby_tpu.models.losses import lm_cross_entropy
+
+
+def collect_token_data(
+    model, variables, batches, vocab,
+    collect_hidden: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Run the LM over batches of (text, text_len), returning flat arrays
+    of (token_id, position, ce_loss[, hidden]) for every non-PAD token."""
+
+    @jax.jit
+    def step(text, text_len):
+        outputs, logits, _ = model.apply(
+            variables, text, text_len, method="lm_forward")
+        labels, logits = model.apply(
+            variables, text, logits, method="lm_labels_and_logits")
+        ce, mask = lm_cross_entropy(logits, labels)
+        return ce, mask, labels, outputs
+
+    token_ids: List[np.ndarray] = []
+    positions: List[np.ndarray] = []
+    losses: List[np.ndarray] = []
+    hiddens: List[np.ndarray] = []
+    for batch in batches:
+        text = jnp.asarray(batch["text"])
+        text_len = jnp.asarray(batch["text_len"])
+        ce, mask, labels, outputs = step(text, text_len)
+        ce, mask, labels = map(np.asarray, (ce, mask, labels))
+        idx = np.nonzero(mask)
+        token_ids.append(labels[idx])
+        positions.append(idx[1])
+        losses.append(ce[idx])
+        if collect_hidden:
+            out = np.asarray(outputs)
+            # hidden state at the step predicting this token
+            hiddens.append(out[idx[0], idx[1]])
+
+    result = {
+        "token_id": np.concatenate(token_ids),
+        "position": np.concatenate(positions),
+        "ce_loss": np.concatenate(losses),
+    }
+    if collect_hidden:
+        result["hidden"] = np.concatenate(hiddens)
+    result["token"] = np.asarray(
+        [vocab.idx2word[int(t)] for t in result["token_id"]])
+    return result
+
+
+def per_word_summary(token_data: Dict[str, np.ndarray]
+                     ) -> "pandas.DataFrame":
+    """Per-word mean loss / frequency table (sumdata.py contract)."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "token": token_data["token"],
+        "ce_loss": token_data["ce_loss"],
+        "position": token_data["position"],
+    })
+    return (df.groupby("token")
+            .agg(mean_ce=("ce_loss", "mean"),
+                 count=("ce_loss", "size"),
+                 mean_position=("position", "mean"))
+            .reset_index()
+            .sort_values("count", ascending=False))
+
+
+def mean_hidden_per_word(token_data: Dict[str, np.ndarray],
+                         min_count: int = 1) -> Dict[str, np.ndarray]:
+    """Mean hidden state per word — the representation fed to RSA /
+    clustering analyses (analysis_tools/processing.py + plotting.py)."""
+    assert "hidden" in token_data, "collect_hidden=True required"
+    words, inv = np.unique(token_data["token"], return_inverse=True)
+    dim = token_data["hidden"].shape[1]
+    sums = np.zeros((len(words), dim), np.float64)
+    counts = np.zeros(len(words), np.int64)
+    np.add.at(sums, inv, token_data["hidden"])
+    np.add.at(counts, inv, 1)
+    keep = counts >= min_count
+    return {"words": words[keep],
+            "mean_hidden": (sums[keep] / counts[keep, None]).astype(
+                np.float32),
+            "counts": counts[keep]}

@@ -1,0 +1,123 @@
+"""Analysis layer: summaries, RSA, grad-CAM, duplicates, processing."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_baby_tpu.analysis.descriptives import corpus_stats
+from multimodal_baby_tpu.analysis.duplicates import (
+    average_hash, find_feature_duplicates, find_hash_duplicates)
+from multimodal_baby_tpu.analysis.representation_similarity import rsa
+from multimodal_baby_tpu.analysis.summaries import (
+    load_predictions, summarize)
+from multimodal_baby_tpu.core.config import (
+    ModelConfig, TextConfig, VisionConfig)
+from multimodal_baby_tpu.models import CVCL
+
+
+def test_summaries(tmp_path):
+    preds = {"data": [
+        {"checkpoint": "c", "seed": 0, "stage": "dev",
+         "categories": ["ball", "dog"], "logits": [0.7, 0.3],
+         "pred": 0, "correct": True, "trial_idx": 0},
+        {"checkpoint": "c", "seed": 0, "stage": "dev",
+         "categories": ["dog", "ball"], "logits": [0.2, 0.8],
+         "pred": 1, "correct": False, "trial_idx": 1},
+    ]}
+    p = tmp_path / "preds.json"
+    p.write_text(json.dumps(preds))
+    df = load_predictions([p])
+    s = summarize(df)
+    total = s[s.target_category == "TOTAL"]
+    assert float(total.accuracy.iloc[0]) == 0.5
+    ball = s[s.target_category == "ball"]
+    assert float(ball.accuracy.iloc[0]) == 1.0
+
+
+def test_rsa_identity_and_invariance():
+    rng = np.random.RandomState(0)
+    x = rng.randn(20, 16)
+    assert abs(rsa(x, x) - 1.0) < 1e-9
+    # orthogonal rotation preserves cosine structure
+    q, _ = np.linalg.qr(rng.randn(16, 16))
+    assert abs(rsa(x, x @ q) - 1.0) < 1e-6
+    y = rng.randn(20, 16)
+    assert rsa(x, y) < 0.5
+    assert -1.0 <= rsa(x, y, method="spearman") <= 1.0
+
+
+def test_grad_cam_shapes():
+    from multimodal_baby_tpu.analysis.attention_maps import grad_cam
+    cfg = ModelConfig(embedding_dim=16, vocab_size=32,
+                      embedding_type="flat", normalize_features=True,
+                      vision=VisionConfig(cnn_model="toy"),
+                      text=TextConfig(text_encoder="embedding"))
+    model = CVCL(cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(
+        2, 64, 64, 3).astype(np.float32))
+    txt = jnp.array([[4, 0, 0], [5, 0, 0]], jnp.int32)
+    tlen = jnp.array([1, 1])
+    variables = model.init(jax.random.PRNGKey(0), imgs, txt, tlen)
+    cam = grad_cam(model, variables, imgs, txt, tlen)
+    assert cam.shape == (2, 64, 64)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
+def test_duplicates():
+    rng = np.random.RandomState(0)
+    img1 = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    img2 = img1.copy()
+    img2[0, 0] ^= 1  # near-identical
+    img3 = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    h = [average_hash(i) for i in (img1, img2, img3)]
+    dups = find_hash_duplicates(np.stack(h[:1]), np.stack(h[1:]),
+                                max_distance=3)
+    assert (0, 0, 0) in dups or any(d[1] == 0 for d in dups)
+    assert not any(d[1] == 1 for d in dups)
+
+    f = rng.randn(4, 8)
+    f2 = np.vstack([f[0] * 2.0, rng.randn(8)])  # scaled copy has cos=1
+    found = find_feature_duplicates(f, f2, threshold=0.99)
+    assert (0, 0, 1.0) in [(i, j, round(s, 2)) for i, j, s in found]
+
+
+def test_corpus_stats():
+    stats = corpus_stats(["the ball", "the dog ran", ""])
+    assert stats["n_utterances"] == 3
+    assert stats["n_tokens"] == 5
+    assert stats["n_types"] == 4
+    assert stats["max_utterance_length"] == 3
+
+
+def test_processing_token_data():
+    from multimodal_baby_tpu.analysis.processing import (
+        collect_token_data, mean_hidden_per_word, per_word_summary)
+    from multimodal_baby_tpu.data.vocab import Vocab
+
+    vocab = Vocab({w: i for i, w in enumerate(
+        ["<pad>", "<unk>", "<sos>", "<eos>", "ball", "dog"])})
+    cfg = ModelConfig(embedding_dim=16, vocab_size=len(vocab),
+                      embedding_type="flat",
+                      vision=VisionConfig(cnn_model="toy"),
+                      text=TextConfig(text_encoder="lstm"))
+    model = CVCL(cfg)
+    text = np.array([[2, 4, 5, 3, 0], [2, 5, 3, 0, 0]], np.int32)
+    tlen = np.array([4, 3], np.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+        jnp.asarray(text), jnp.asarray(tlen))
+
+    data = collect_token_data(
+        model, variables, [{"text": text, "text_len": tlen}], vocab,
+        collect_hidden=True)
+    # regressional labels: positions 1.. -> [ball, dog, eos] + [dog, eos]
+    assert len(data["token_id"]) == 5
+    assert set(data["token"]) == {"ball", "dog", "<eos>"}
+    summary = per_word_summary(data)
+    assert set(summary.token) == {"ball", "dog", "<eos>"}
+    hidden = mean_hidden_per_word(data)
+    assert hidden["mean_hidden"].shape[1] == 16
