@@ -173,6 +173,23 @@ class Trainer:
                     outputs.append(to_host(metrics))
             out.update(aggregate_epoch(outputs))
 
+        if cfg.train.eval_textgen and cfg.train.lambda_lm \
+                and dataset is not None:
+            from multimodal_baby_tpu.evaluation.textgen import (
+                run_textgen_eval)
+            loader = DataLoader(dataset, cfg.data.val_batch_size,
+                                shuffle=False,
+                                num_workers=cfg.data.num_workers)
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            scores, _, _ = run_textgen_eval(
+                self.model, variables, loader, self.data.vocab,
+                beam_width=cfg.train.beam_width,
+                decode_length=cfg.train.decode_length,
+                length_penalty_alpha=cfg.train.length_penalty_alpha,
+                captioning=self.cfg.model.text.captioning)
+            out.update(scores)
+
         eval_ds = self.data.eval_datasets.get(split)
         if eval_ds is not None:
             variables = {"params": self.state.params,
