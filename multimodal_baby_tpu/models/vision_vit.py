@@ -40,11 +40,23 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        if return_attention:
-            return attn
-        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        from multimodal_baby_tpu.ops.attention import (
+            fused_attention, should_fuse_attention)
+        if not return_attention and jax.devices()[0].platform == "tpu" \
+                and should_fuse_attention(N, head_dim):
+            # Pallas kernel: scores never leave VMEM (ops/attention.py)
+            def heads_first(t):
+                return t.transpose(0, 2, 1, 3).reshape(B * H, N, head_dim)
+            y = fused_attention(heads_first(q), heads_first(k),
+                                heads_first(v), scale)
+            y = y.reshape(B, H, N, head_dim).transpose(0, 2, 1, 3)
+            y = y.reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            if return_attention:
+                return attn
+            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
         return nn.Dense(C, name="proj", dtype=self.dtype)(y)
 
 

@@ -64,3 +64,27 @@ def test_lstm_fused_matches_scan():
     for name, a, b in zip(("dxp", "dwhh", "dh0", "dc0"), gp, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    err_msg=name)
+
+
+def test_fused_attention_matches_xla():
+    from multimodal_baby_tpu.ops.attention import (
+        _xla_attention, fused_attention)
+    rng = np.random.RandomState(0)
+    BH, N, d = 6, 17, 8
+    q = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    out_f = fused_attention(q, k, v, scale)
+    out_x = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(impl):
+        return lambda q, k, v: (impl(q, k, v, scale) ** 2).sum()
+
+    gf = jax.grad(loss(fused_attention), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss(_xla_attention), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, err_msg=f"d{name}")
