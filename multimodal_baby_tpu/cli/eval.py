@@ -39,6 +39,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--output_dir", type=str, default="results")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dump_attention_maps", type=int, default=0,
+                        help="save grad-CAM overlays for the first N "
+                             "trials (reference: eval_shuffled.py:196-228)")
     args = parser.parse_args(argv)
 
     from multimodal_baby_tpu.api.model import load_model
@@ -77,6 +80,31 @@ def main(argv=None):
         "use_kitty_label": args.use_kitty_label,
     })
     print(f"saved predictions to {out}")
+
+    if args.dump_attention_maps > 0 and args.eval_type == "image":
+        import numpy as np
+        import jax.numpy as jnp
+        from PIL import Image
+        from multimodal_baby_tpu.analysis.attention_maps import (
+            get_attention_overlay, grad_cam)
+        from multimodal_baby_tpu.data.augment import normalize_image
+
+        map_dir = Path(args.output_dir) / f"attention_maps_{ckpt_name}"
+        map_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(min(args.dump_attention_maps, len(dataset))):
+            imgs, ids, ln, cat = dataset[i]
+            cams = grad_cam(
+                model.model, variables,
+                normalize_image(jnp.asarray(imgs)),
+                jnp.tile(jnp.asarray(ids)[None], (imgs.shape[0], 1)),
+                jnp.full((imgs.shape[0],), ln))
+            for j in range(imgs.shape[0]):
+                overlay = get_attention_overlay(
+                    imgs[j].astype(np.float32) / 255.0, cams[j])
+                Image.fromarray(
+                    (np.clip(overlay, 0, 1) * 255).astype(np.uint8)
+                ).save(map_dir / f"trial{i}_{cat}_img{j}.png")
+        print(f"saved attention maps to {map_dir}")
     return accs
 
 

@@ -379,6 +379,31 @@ def create_vocab(out_dir, freq_threshold: int = 3) -> Vocab:
     return vocab
 
 
+def animate_utterance(entry: dict, out_path, duration_ms: int = 200,
+                      frames_dir=None) -> Optional[Path]:
+    """Debug tool: animated GIF of an utterance's frames
+    (reference: multimodal_saycam_data_module.py:1266-1313)."""
+    from PIL import Image, ImageDraw
+
+    frames = []
+    for name in entry["frame_filenames"]:
+        path = Path(frames_dir) / name if frames_dir else Path(name)
+        if not path.exists():
+            continue
+        img = Image.open(path).convert("RGB")
+        draw = ImageDraw.Draw(img)
+        draw.text((4, img.height - 14), entry["utterance"][:60],
+                  fill=(255, 255, 0))
+        frames.append(img)
+    if not frames:
+        return None
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=duration_ms, loop=0)
+    return out_path
+
+
 # ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
