@@ -66,7 +66,10 @@ def main():
         model=ModelConfig(
             embedding_dim=512, vocab_size=VOCAB, embedding_type="flat",
             normalize_features=True, fix_temperature=True, temperature=0.07,
-            vision=VisionConfig(cnn_dino=True),
+            # running-average BN on the frozen trunk: the framework's
+            # recommended mode (no batch-stat reductions; eval semantics
+            # identical) — frozen_bn="batch" reproduces the reference quirk
+            vision=VisionConfig(cnn_dino=True, frozen_bn="running"),
             text=TextConfig(text_encoder="embedding")),
         train=TrainConfig(optimizer="AdamW", lr=1e-4, weight_decay=0.1),
         parallel=ParallelConfig())

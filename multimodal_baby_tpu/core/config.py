@@ -38,6 +38,12 @@ class VisionConfig:
     cnn_dino: bool = False
     vit_dino: bool = False
     finetune_cnn: bool = False
+    # frozen-CNN BatchNorm mode during training: "batch" reproduces the
+    # reference quirk (frozen CNN left in train() mode -> batch statistics,
+    # SURVEY.md section 7.3); "running" uses the running averages — ~25%
+    # faster on TPU (no stat reductions) and the more principled choice for
+    # a frozen trunk. Eval always uses running averages.
+    frozen_bn: str = "batch"
 
     @property
     def backbone(self) -> str:

@@ -130,7 +130,15 @@ def lstm_gates(pre: jax.Array, h_dim: int) -> Tuple[jax.Array, ...]:
 
 def _use_fused_lstm(x_proj_shape, h_dim: int) -> bool:
     """Dispatch to the Pallas recurrence kernel on TPU when the per-step
-    working set fits VMEM (~16 MB/core)."""
+    working set fits VMEM (~16 MB/core).
+
+    Off by default (MMB_FUSED_LSTM=1 enables): measured on v5e the XLA
+    scan is currently faster at CVCL scale (L=25, H=512) — the kernel
+    refetches W_hh per grid step while XLA keeps the loop body fused. The
+    kernel stays available for long-sequence / large-H regimes."""
+    import os
+    if os.environ.get("MMB_FUSED_LSTM", "0") != "1":
+        return False
     try:
         if jax.devices()[0].platform != "tpu":
             return False

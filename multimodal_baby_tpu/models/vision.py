@@ -86,7 +86,9 @@ class VisionEncoder(nn.Module):
                 cls = jax.lax.stop_gradient(cls)
             return self.head(cls), None
 
-        out = self.backbone(x, train=train)
+        # frozen trunk may run BN on running averages (frozen_bn="running")
+        bn_train = train and (v.finetune_cnn or v.frozen_bn == "batch")
+        out = self.backbone(x, train=bn_train)
         pooled, feature_map = out["pooled"], out["feature_map"]
         if not v.finetune_cnn:
             pooled = jax.lax.stop_gradient(pooled)

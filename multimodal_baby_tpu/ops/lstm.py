@@ -51,7 +51,7 @@ def _lstm_kernel(xp_ref, mask_ref, whh_ref, h0_ref, c0_ref,
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    m = mask_ref[0][:, None]  # [B, 1] float 0/1
+    m = mask_ref[0, 0][:, None]  # [B, 1] float 0/1
     h_scr[:] = m * h_new + (1.0 - m) * h
     c_scr[:] = m * c_new + (1.0 - m) * c
     out_ref[0] = m * h_new
@@ -67,13 +67,16 @@ def _pallas_forward(x_proj_tm, mask_tm, w_hh, h0, c0):
     mask_tm: [L, B] f32; returns (outputs [L, B, H], h_last, c_last)."""
     L, B, H4 = x_proj_tm.shape
     H = H4 // 4
+    # mask rides as [L, 1, B] so its block's trailing dims satisfy the TPU
+    # (8, 128) tiling rule
+    mask_tm = mask_tm.reshape(L, 1, B)
     out, h_last, c_last = pl.pallas_call(
         _lstm_kernel,
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1, B, H4), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda l: (l, 0),
+            pl.BlockSpec((1, 1, B), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
