@@ -56,7 +56,11 @@ class VisionEncoder(nn.Module):
         elif v.vit_dino:
             self.backbone = vit_base(patch_size=14, dtype=self.dtype)
         else:
-            self.backbone = ResNeXt50(name="backbone", dtype=self.dtype)
+            # dense_groups: grouped-conv layout reshapes eliminated; safe
+            # only when the trunk is frozen (see BottleneckX docstring)
+            self.backbone = ResNeXt50(
+                name="backbone", dtype=self.dtype,
+                dense_groups=not v.finetune_cnn)
 
         if self.cfg.embedding_type == "flat":
             self.head = TorchLinear(self.last_out_dim, self.cfg.embedding_dim)

@@ -30,15 +30,53 @@ RESNEXT50_STAGES: Sequence[Tuple[int, int, int]] = (
 EXPANSION = 4
 
 
-def _bn(name: str, use_running_average: bool, dtype=None) -> nn.BatchNorm:
+class InferenceBN(nn.Module):
+    """Running-average BatchNorm with the multiply folded to a single
+    per-channel madd in the input dtype.
+
+    flax's nn.BatchNorm promotes the (bf16) conv output to f32 before
+    normalizing, materializing a full f32 copy of every activation tensor —
+    profiled at ~10 ms/step of pure converts/copies on the ResNeXt trunk at
+    B=256. Here ``mul``/``add`` are computed in f32 on the [C] vectors only
+    and applied in bf16, so the whole op fuses into the producing conv.
+    Variable structure matches nn.BatchNorm (params scale/bias, batch_stats
+    mean/var) so checkpoints interchange."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        mul = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        add = bias - mean.value * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
+def _bn(name: str, use_running_average: bool, dtype=None):
     # torch BatchNorm2d defaults: eps 1e-5, momentum 0.1 (flax momentum 0.9)
+    if use_running_average:
+        return InferenceBN(name=name)
     return nn.BatchNorm(
-        name=name, use_running_average=use_running_average,
+        name=name, use_running_average=False,
         momentum=0.9, epsilon=1e-5, dtype=dtype)
 
 
 class BottleneckX(nn.Module):
-    """torchvision Bottleneck with groups=32, base_width=4."""
+    """torchvision Bottleneck with groups=32, base_width=4.
+
+    ``dense_groups`` expands the grouped 3x3 kernel to a dense
+    block-diagonal kernel at call time: on TPU the grouped-conv lowering
+    inserts [.., 32, 4] layout reshapes around every grouped conv
+    (~0.7 ms each at layer1/B=256) that the dense form avoids. The
+    parameter stays in its grouped [3, 3, 4, width] form (checkpoints
+    unchanged); only safe for frozen trunks (the expansion's off-diagonal
+    zeros would receive gradients)."""
 
     planes: int
     stride: int = 1
@@ -46,6 +84,7 @@ class BottleneckX(nn.Module):
     base_width: int = 4
     has_downsample: bool = False
     dtype: Any = None  # compute dtype (bf16 on the train hot path)
+    dense_groups: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -58,9 +97,12 @@ class BottleneckX(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, name="conv1", dtype=dt)(x)
         y = _bn("bn1", ura, dt)(y)
         y = nn.relu(y)
-        y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, feature_group_count=self.groups,
-                    use_bias=False, name="conv2", dtype=dt)(y)
+        if self.dense_groups:
+            y = self._dense_grouped_conv3x3(y, width, dt)
+        else:
+            y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                        padding=1, feature_group_count=self.groups,
+                        use_bias=False, name="conv2", dtype=dt)(y)
         y = _bn("bn2", ura, dt)(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=dt)(y)
@@ -74,6 +116,34 @@ class BottleneckX(nn.Module):
 
         return nn.relu(y + identity)
 
+    def _dense_grouped_conv3x3(self, y, width, dt):
+        cg = width // self.groups
+        # parameter lives under the same "conv2/kernel" path and grouped
+        # shape as the nn.Conv variant, so checkpoints interchange
+        w = _GroupedKernel((3, 3, cg, width), name="conv2")()
+        if dt is not None:
+            w = w.astype(dt)
+        w_tiled = jnp.tile(w, (1, 1, self.groups, 1))
+        ids = jnp.arange(width) // cg
+        mask = (ids[:, None] == ids[None, :]).astype(w_tiled.dtype)
+        wd = w_tiled * mask
+        dn = jax.lax.conv_dimension_numbers(
+            y.shape, wd.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            y, wd, (self.stride, self.stride), ((1, 1), (1, 1)),
+            dimension_numbers=dn)
+
+
+class _GroupedKernel(nn.Module):
+    shape: Tuple[int, ...]
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape)
+
+    def __call__(self):
+        return self.kernel
+
 
 class ResNeXt50(nn.Module):
     """Trunk only (no classifier head). Returns pooled [B, 2048] features and
@@ -82,9 +152,11 @@ class ResNeXt50(nn.Module):
     simply a second output.
 
     ``dtype`` is the compute dtype: params stay f32, convs/BN run in bf16 on
-    the train hot path (MXU-native); None = full f32 (parity/eval mode)."""
+    the train hot path (MXU-native); None = full f32 (parity/eval mode).
+    ``dense_groups`` (frozen trunks only) see BottleneckX."""
 
     dtype: Any = None
+    dense_groups: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -108,9 +180,13 @@ class ResNeXt50(nn.Module):
                 s = stride if block_idx == 0 else 1
                 needs_ds = block_idx == 0 and (
                     s != 1 or in_ch != planes * EXPANSION)
+                # dense-ifying groups only pays where groups are narrow
+                # (layer1: 4 ch/group -> reshape overhead > 9x-FLOP cost;
+                # deeper stages: wide groups make the dense form lose)
                 y = BottleneckX(
                     planes=planes, stride=s, has_downsample=needs_ds,
                     dtype=dt,
+                    dense_groups=self.dense_groups and planes == 64,
                     name=f"layer{stage_idx + 1}_{block_idx}")(y, train=train)
                 in_ch = planes * EXPANSION
 
