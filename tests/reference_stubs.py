@@ -2,15 +2,24 @@
 (torchvision / pytorch_lightning / clip aren't installed in the TPU image;
 the oracle code paths we exercise never actually use them)."""
 
+import importlib.machinery
 import sys
 import types
 
 
+def _module(name: str) -> types.ModuleType:
+    m = types.ModuleType(name)
+    # a real-looking __spec__ so importlib.util.find_spec() on the stub
+    # doesn't raise (transformers probes torchvision availability this way)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def install_reference_stubs():
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.models = types.ModuleType("torchvision.models")
-        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv = _module("torchvision")
+        tv.models = _module("torchvision.models")
+        tv.transforms = _module("torchvision.transforms")
         tv.transforms.Normalize = lambda *a, **k: None
         tv.transforms.Compose = lambda *a, **k: None
         tv.transforms.ToTensor = lambda *a, **k: None
@@ -26,7 +35,7 @@ def install_reference_stubs():
         sys.modules["torchvision.transforms"] = tv.transforms
 
     if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
+        pl = _module("pytorch_lightning")
 
         class _Stub:
             def __init__(self, *a, **k):
@@ -37,7 +46,7 @@ def install_reference_stubs():
         sys.modules["pytorch_lightning"] = pl
 
     if "clip" not in sys.modules:
-        clip = types.ModuleType("clip")
+        clip = _module("clip")
         clip.tokenize = lambda *a, **k: None
         clip.load = lambda *a, **k: (None, None)
         sys.modules["clip"] = clip
