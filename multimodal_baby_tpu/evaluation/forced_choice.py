@@ -115,11 +115,13 @@ def run_forced_choice(
             correct_pred[label_name] = correct_pred.get(label_name, 0) \
                 + int(correct)
             total_pred[label_name] = total_pred.get(label_name, 0) + 1
-            trial = dataset.data[i]
+            trial = getattr(dataset, "data", [None] * (i + 1))[i]
+            categories = ([trial["target_category"]]
+                          + list(trial.get("foil_categories", []))
+                          if isinstance(trial, dict) else [cat])
             records.append({
                 "trial_idx": i,
-                "categories": [trial["target_category"]]
-                + list(trial.get("foil_categories", [])),
+                "categories": categories,
                 "logits": probs[j].tolist(),
                 "pred": int(preds[j]),
                 "correct": correct,

@@ -169,10 +169,10 @@ class ResNeXt50(nn.Module):
                     use_bias=False, name="conv1", dtype=dt)(x)
         y = _bn("bn1", ura, dt)(y)
         y = nn.relu(y)
-        # torch MaxPool2d(3, stride=2, padding=1)
-        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2))
+        # torch MaxPool2d(3, stride=2, padding=1); window-level padding
+        # avoids materializing a padded copy of the 112x112 stem output
+        y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
