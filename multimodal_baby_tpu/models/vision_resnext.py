@@ -42,26 +42,33 @@ class InferenceBN(nn.Module):
     Variable structure matches nn.BatchNorm (params scale/bias, batch_stats
     mean/var) so checkpoints interchange."""
 
+    features: int
     epsilon: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        c = self.features
+        self.scale = self.param("scale", nn.initializers.ones, (c,))
+        self.bias = self.param("bias", nn.initializers.zeros, (c,))
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros((c,), jnp.float32))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones((c,), jnp.float32))
+
+    def fold(self) -> Tuple[jax.Array, jax.Array]:
+        """(mul, add) f32 vectors: y = x * mul + add."""
+        mul = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
+        return mul, self.bias - self.mean.value * mul
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((c,), jnp.float32))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((c,), jnp.float32))
-        mul = scale * jax.lax.rsqrt(var.value + self.epsilon)
-        add = bias - mean.value * mul
+        mul, add = self.fold()
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
-def _bn(name: str, use_running_average: bool, dtype=None):
+def _bn(name: str, use_running_average: bool, dtype=None,
+        features: int = 0):
     # torch BatchNorm2d defaults: eps 1e-5, momentum 0.1 (flax momentum 0.9)
     if use_running_average:
-        return InferenceBN(name=name)
+        return InferenceBN(features=features, name=name)
     return nn.BatchNorm(
         name=name, use_running_average=False,
         momentum=0.9, epsilon=1e-5, dtype=dtype)
@@ -85,6 +92,7 @@ class BottleneckX(nn.Module):
     has_downsample: bool = False
     dtype: Any = None  # compute dtype (bf16 on the train hot path)
     dense_groups: bool = False
+    fused_epilogue: bool = False  # Pallas conv3+bn3+residual+relu kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -95,7 +103,7 @@ class BottleneckX(nn.Module):
 
         identity = x
         y = nn.Conv(width, (1, 1), use_bias=False, name="conv1", dtype=dt)(x)
-        y = _bn("bn1", ura, dt)(y)
+        y = _bn("bn1", ura, dt, width)(y)
         y = nn.relu(y)
         if self.dense_groups:
             y = self._dense_grouped_conv3x3(y, width, dt)
@@ -103,17 +111,36 @@ class BottleneckX(nn.Module):
             y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
                         padding=1, feature_group_count=self.groups,
                         use_bias=False, name="conv2", dtype=dt)(y)
-        y = _bn("bn2", ura, dt)(y)
+        y = _bn("bn2", ura, dt, width)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=dt)(y)
-        y = _bn("bn3", ura, dt)(y)
 
         if self.has_downsample:
             identity = nn.Conv(
                 out_ch, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, name="downsample_conv", dtype=dt)(x)
-            identity = _bn("downsample_bn", ura, dt)(identity)
+            identity = _bn("downsample_bn", ura, dt, out_ch)(identity)
 
+        # fused Pallas epilogue (frozen trunks, running-BN): conv3 + bn3 +
+        # residual + relu in one pass (ops/conv_epilogue.py). Measured
+        # SLOWER than XLA's conv+fusion pipeline on v5e (66 vs 30 ms trunk
+        # at B=256) — the naive tiled matmul loses XLA's cross-op
+        # pipelining — so it stays opt-in for future tuning.
+        if self.fused_epilogue and ura and dt is not None \
+                and jax.devices()[0].platform == "tpu":
+            from multimodal_baby_tpu.ops.conv_epilogue import (
+                conv1x1_bn_residual_relu)
+            w3 = _GroupedKernel((1, 1, width, out_ch), name="conv3")()
+            mul, add = InferenceBN(out_ch, name="bn3").fold()
+            B, Hh, Ww, _ = y.shape
+            out = conv1x1_bn_residual_relu(
+                y.reshape(B * Hh * Ww, width).astype(dt),
+                w3.reshape(width, out_ch).astype(dt),
+                mul, add,
+                identity.reshape(B * Hh * Ww, out_ch))
+            return out.reshape(B, Hh, Ww, out_ch)
+
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=dt)(y)
+        y = _bn("bn3", ura, dt, out_ch)(y)
         return nn.relu(y + identity)
 
     def _dense_grouped_conv3x3(self, y, width, dt):
@@ -167,7 +194,7 @@ class ResNeXt50(nn.Module):
             x = x.astype(dt)
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, name="conv1", dtype=dt)(x)
-        y = _bn("bn1", ura, dt)(y)
+        y = _bn("bn1", ura, dt, 64)(y)
         y = nn.relu(y)
         # torch MaxPool2d(3, stride=2, padding=1); window-level padding
         # avoids materializing a padded copy of the 112x112 stem output
@@ -187,6 +214,7 @@ class ResNeXt50(nn.Module):
                     planes=planes, stride=s, has_downsample=needs_ds,
                     dtype=dt,
                     dense_groups=self.dense_groups and planes == 64,
+                    fused_epilogue=False,  # see BottleneckX docstring
                     name=f"layer{stage_idx + 1}_{block_idx}")(y, train=train)
                 in_ch = planes * EXPANSION
 

@@ -88,3 +88,20 @@ def test_fused_attention_matches_xla():
     for name, a, b in zip("qkv", gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, err_msg=f"d{name}")
+
+
+def test_conv_epilogue_matches_xla():
+    from multimodal_baby_tpu.ops.conv_epilogue import (
+        _xla_epilogue, conv1x1_bn_residual_relu)
+    rng = np.random.RandomState(0)
+    M, cin, cout = 64, 16, 32
+    x = jnp.asarray(rng.randn(M, cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(cin, cout).astype(np.float32) * 0.1)
+    mul = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+    add = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.randn(M, cout).astype(np.float32))
+    out_f = conv1x1_bn_residual_relu(x, w, mul, add, res)
+    out_x = _xla_epilogue(x, w, mul, add, res)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=1e-5)
+    assert float(jnp.min(out_f)) >= 0.0
