@@ -207,9 +207,27 @@ def convert_cvcl_checkpoint(
         if f"{vp}conv1.weight" in sd:
             trunk_sd, trunk_prefix = sd, vp
         else:
-            # spatial variant: Sequential-wrapped trunk ("0.", "1.", ...)
-            raise NotImplementedError(
-                "sequential spatial vision checkpoints: pass trunk explicitly")
+            # spatial variant: the reference wraps the trunk in a
+            # Sequential (multimodal.py:182-185), renaming children to
+            # indices: 0=conv1, 1=bn1, 4..7=layer1..4, 8=1x1 head conv
+            index_to_name = {"0": "conv1", "1": "bn1", "4": "layer1",
+                             "5": "layer2", "6": "layer3", "7": "layer4"}
+            trunk_sd = {}
+            for k, v in sd.items():
+                if not k.startswith(vp):
+                    continue
+                rest = k[len(vp):]
+                head_idx, _, tail = rest.partition(".")
+                if head_idx in index_to_name:
+                    trunk_sd[f"{index_to_name[head_idx]}.{tail}"] = v
+            trunk_prefix = ""
+            if f"{vp}8.weight" in sd:
+                # spatial head: Conv2d(2048, E, 1) -> TorchLinear on the
+                # channels-last feature map
+                vis["head"] = {
+                    "kernel": _np(sd[f"{vp}8.weight"])[:, :, 0, 0].T,
+                    "bias": _np(sd[f"{vp}8.bias"]),
+                }
         backbone, bstats = convert_resnext50(trunk_sd, trunk_prefix)
         vis["backbone"] = backbone
         vis_stats["backbone"] = bstats

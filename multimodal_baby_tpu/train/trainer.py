@@ -138,19 +138,29 @@ class Trainer:
             shuffle=True, drop_last=cfg.data.drop_last,
             num_workers=cfg.data.num_workers,
             seed=cfg.train.seed * 10000 + epoch)
-        outputs: List[Dict[str, float]] = []
+        device_outputs: List[Dict] = []
         with self.mesh:
+            pending = None
             for step_idx, batch in enumerate(loader):
+                # one-batch transfer lookahead; metrics stay on device so
+                # the host never blocks inside the epoch (steps dispatch
+                # asynchronously and pipeline with the H2D copies)
                 device_batch = self._device_batch(batch)
-                self.state, metrics = self.train_step(
-                    self.state, device_batch)
-                if step_idx % cfg.train.log_every_n_steps == 0:
-                    host = to_host(metrics)
-                    self.logger.log(host, int(self.state.step),
-                                    prefix="train_")
-                    outputs.append(host)
-                else:
-                    outputs.append(to_host(metrics))
+                if pending is not None:
+                    self.state, metrics = self.train_step(
+                        self.state, pending)
+                    device_outputs.append(metrics)
+                pending = device_batch
+            if pending is not None:
+                self.state, metrics = self.train_step(self.state, pending)
+                device_outputs.append(metrics)
+        outputs = [to_host(m) for m in device_outputs]
+        for step_idx, host in enumerate(outputs):
+            if step_idx % cfg.train.log_every_n_steps == 0:
+                self.logger.log(
+                    host,
+                    int(self.state.step) - len(outputs) + step_idx + 1,
+                    prefix="train_")
         agg = aggregate_epoch(outputs)
         self.logger.log(agg, int(self.state.step), prefix="train_epoch_")
         return agg

@@ -109,3 +109,44 @@ def test_tokenize_matches_reference_contract():
     assert ids[1][1] == 1  # <unk>
     assert lens[0] == 3
     assert (ids[0][3:] == 0).all()
+
+
+def test_spatial_torch_checkpoint_parity(tmp_path):
+    """Spatial-variant checkpoints (Sequential-wrapped trunk + 1x1 conv
+    head, multimodal.py:182-185) convert and match the torch pipeline."""
+    torch.manual_seed(2)
+    E = 32
+    trunk = _TorchResNeXt50()
+    head = tnn.Conv2d(2048, E, 1)
+    embedding = tnn.Embedding(100, E, padding_idx=0)
+
+    sd = {}
+    idx_map = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+               "layer3": "6", "layer4": "7"}
+    for k, v in trunk.state_dict().items():
+        top, _, rest = k.partition(".")
+        sd[f"vision_encoder.model.{idx_map[top]}.{rest}"] = v
+    sd["vision_encoder.model.8.weight"] = head.weight
+    sd["vision_encoder.model.8.bias"] = head.bias
+    sd["text_encoder.embedding.weight"] = embedding.weight
+    ckpt = {"state_dict": sd, "hyper_parameters": {
+        "text_encoder": "embedding", "embedding_dim": E,
+        "embedding_type": "spatial", "normalize_features": False,
+        "fix_temperature": True, "cnn_dino": True, "sim": "mean",
+        "tie": True, "bias": False}}
+    path = tmp_path / "spatial.ckpt"
+    torch.save(ckpt, path)
+
+    from multimodal_baby_tpu.api.model import CVCLModel
+    model = CVCLModel.from_torch_checkpoint(path)
+
+    rng = np.random.RandomState(3)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32)
+    trunk.eval()
+    with torch.no_grad():
+        _, fmap = trunk(torch.tensor(imgs.transpose(0, 3, 1, 2)))
+        t_spatial = head(fmap).permute(0, 2, 3, 1).numpy()
+
+    feats = np.asarray(model.encode_image(imgs))
+    assert feats.shape == t_spatial.shape  # [B, h, w, E]
+    np.testing.assert_allclose(feats, t_spatial, atol=2e-3, rtol=1e-2)
