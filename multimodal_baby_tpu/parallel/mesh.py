@@ -64,8 +64,17 @@ def batch_spec() -> P:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch, sharded along the leading axis."""
-    sharding = batch_sharding(mesh)
+    """Device-put a host batch, sharded along the leading axis.
+
+    Ragged remainder batches (leading dim not divisible by the data-axis
+    size) are placed replicated instead — they trigger a one-off compile
+    for their shape anyway, and correctness beats sharding a tail batch."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    n = leaves[0].shape[0] if leaves else 0
+    if n % mesh.shape[DATA_AXIS] != 0:
+        sharding = replicated(mesh)
+    else:
+        sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
