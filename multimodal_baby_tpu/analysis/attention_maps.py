@@ -10,7 +10,7 @@ forward/backward hooks needed.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ duplicates (:439-621), numpy-based.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

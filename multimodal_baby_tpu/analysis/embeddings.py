@@ -9,7 +9,7 @@ joint_embeddings_with_eval_sims CSV contract).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

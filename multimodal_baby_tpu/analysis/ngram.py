@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from collections import Counter, defaultdict
 from math import log
-from typing import Tuple
-
 import numpy as np
 
 

@@ -6,7 +6,7 @@ to disk; headless-safe (Agg backend)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -9,14 +9,13 @@ passes instead of per-example loops.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from multimodal_baby_tpu.core.constants import PAD_TOKEN_ID
 from multimodal_baby_tpu.models.losses import lm_cross_entropy
 
 

@@ -10,7 +10,6 @@ prefixes, and converts to our flax params/batch-stats.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 SPEC_TO_ARCH = {

@@ -16,7 +16,7 @@ torch is only required by the callers that actually read .ckpt files.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Dict, Mapping, Tuple
 
 import numpy as np
 

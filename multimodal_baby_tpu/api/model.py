@@ -21,7 +21,6 @@ packaged vocab (multimodal_lit.py:68-70).
 
 from __future__ import annotations
 
-import functools
 import json
 from pathlib import Path
 from typing import Optional, Sequence, Tuple, Union

@@ -17,7 +17,6 @@ from pathlib import Path
 
 from multimodal_baby_tpu.data.datasets import (
     EvalTrialDataset, TextEvalTrialDataset, load_metadata)
-from multimodal_baby_tpu.data.vocab import Vocab
 from multimodal_baby_tpu.evaluation.forced_choice import (
     print_accuracy_table, run_forced_choice, save_predictions)
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_baby_tpu.core.constants import (
-    CLIP_MEAN, CLIP_STD, IMAGENET_MEAN, IMAGENET_STD)
+    IMAGENET_MEAN, IMAGENET_STD)
 
 
 def normalize_image(x: jax.Array, mean=IMAGENET_MEAN, std=IMAGENET_STD

@@ -21,8 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multimodal_baby_tpu.core.constants import (
-    EOS_TOKEN_ID, MAX_LEN_UTTERANCE, PAD_TOKEN_ID, SOS_TOKEN_ID)
+from multimodal_baby_tpu.core.constants import SOS_TOKEN_ID
 from multimodal_baby_tpu.data.augment import normalize_image
 from multimodal_baby_tpu.data.vocab import Vocab
 

@@ -13,8 +13,7 @@ images, eval_linear_decoding.py:82-101) are preserved.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

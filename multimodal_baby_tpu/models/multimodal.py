@@ -15,7 +15,7 @@ Similarity modes (multimodal.py:751-780), translated to NHWC layout:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ Feature-for-feature with the reference TextEncoder
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from multimodal_baby_tpu.core.config import ModelConfig
 from multimodal_baby_tpu.models.layers import TorchLinear

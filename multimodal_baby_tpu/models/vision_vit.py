@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, List, Optional
+from typing import Any, List
 
 import flax.linen as nn
 import jax

@@ -17,8 +17,6 @@ a custom VJP recomputes with XLA ops for safety.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -16,9 +16,6 @@ rematerialized backward, numerically identical to training on the scan.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -12,10 +12,8 @@ from __future__ import annotations
 import json
 import shutil
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from multimodal_baby_tpu.core.config import ExperimentConfig

@@ -14,8 +14,6 @@ import time
 from pathlib import Path
 from typing import Dict, List, Optional
 
-import numpy as np
-
 PER_EXAMPLE_METRICS = (
     "infonce_loss", "image_accuracy", "text_accuracy",
     "image_entropy", "text_entropy", "attn_reg_loss", "loss",

@@ -15,8 +15,6 @@ through ``optax.inject_hyperparams``.
 
 from __future__ import annotations
 
-from typing import Any, Callable
-
 import jax
 import optax
 

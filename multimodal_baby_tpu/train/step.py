@@ -23,7 +23,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from multimodal_baby_tpu.core.config import ExperimentConfig
 from multimodal_baby_tpu.core.constants import DATA_AXIS

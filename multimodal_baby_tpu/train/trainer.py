@@ -12,8 +12,6 @@ import time
 from pathlib import Path
 from typing import Dict, List, Optional
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +28,7 @@ from multimodal_baby_tpu.train.optimizer import (
     ReduceLROnPlateau, build_optimizer, get_learning_rate,
     set_learning_rate)
 from multimodal_baby_tpu.train.step import (
-    TrainState, init_train_state, make_eval_step, make_train_step)
+    TrainState, make_eval_step, make_train_step)
 
 
 class Trainer:
