@@ -108,3 +108,34 @@ def test_predictions_schema(setup, tmp_path):
                 "pred", "correct"):
         assert key in data[0], key
     np.testing.assert_allclose(sum(data[0]["logits"]), 1.0, atol=1e-6)
+
+
+def test_multi_foil_trials(setup, tmp_path):
+    """n_foils variants (9 foils -> 10-way trials) work unchanged
+    (reference 'extra' eval metadata, SURVEY.md 2.1)."""
+    import numpy as np
+    from PIL import Image
+    model, variables, vocab, _ = setup
+    rng = np.random.RandomState(7)
+
+    def save(name):
+        p = tmp_path / f"{name}.png"
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(p)
+        return str(p)
+
+    trials = []
+    for i in range(3):
+        target = CATS[i % len(CATS)]
+        foils = [c for c in CATS if c != target] * 3
+        foils = foils[:9]
+        trials.append({
+            "target_img_filename": save(f"m{i}"),
+            "foil_img_filenames": [save(f"m{i}_{j}") for j in range(9)],
+            "target_category": target,
+            "foil_categories": foils,
+        })
+    ds = EvalTrialDataset(trials, vocab)
+    accs, records = run_forced_choice(model, variables, ds, "image",
+                                      batch_size=2)
+    assert len(records) == 3
+    assert all(len(r["logits"]) == 10 for r in records)
