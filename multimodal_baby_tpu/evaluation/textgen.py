@@ -45,7 +45,21 @@ def run_textgen_eval(
 ) -> Tuple[Dict[str, float], List[List[str]], List[str]]:
     """batches: dicts with text/text_len/raw (+ image_u8 when captioning).
     Returns (scores, references, hypotheses)."""
+    import functools
+
+    import jax
+
     from multimodal_baby_tpu.data.augment import normalize_image
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def decode(variables, b, image_features):
+        seq, scores = model.apply(
+            variables, b, beam_width, decode_length,
+            length_penalty_alpha, image_features,
+            method="beam_search_decode")
+        return seq
+
+    encode = jax.jit(lambda v, x: model.apply(v, x, method="encode_image"))
 
     references: List[List[str]] = []
     hypotheses: List[str] = []
@@ -54,12 +68,8 @@ def run_textgen_eval(
         image_features = None
         if captioning:
             imgs = normalize_image(jnp.asarray(batch["image_u8"]))
-            image_features, _ = model.apply(
-                variables, imgs, method="encode_image")
-        seq, _ = model.apply(
-            variables, b, beam_width, decode_length,
-            length_penalty_alpha, image_features,
-            method="beam_search_decode")
+            image_features, _ = encode(variables, imgs)
+        seq = decode(variables, b, image_features)
         seq = np.asarray(seq)
         hypotheses += [ids_to_sentence(seq[i, 0], vocab)
                        for i in range(b)]

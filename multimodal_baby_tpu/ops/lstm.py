@@ -39,6 +39,9 @@ def _lstm_kernel(xp_ref, mask_ref, whh_ref, h0_ref, c0_ref,
 
     h = h_scr[:]
     c = c_scr[:]
+    # W_hh arrives via a constant-index BlockSpec: Mosaic keeps the block
+    # resident across the sequential grid (an explicit VMEM scratch copy
+    # pushes the budget 2 KB over the 16 MB scoped limit at B=256/H=512)
     pre = xp_ref[0] + jnp.dot(h, whh_ref[:],
                               preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(pre[:, :H])
