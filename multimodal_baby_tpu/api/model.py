@@ -99,10 +99,16 @@ class CVCLModel:
         from multimodal_baby_tpu.train.checkpoint import CheckpointManager
         ckpt_dir = Path(ckpt_dir)
         cfg = CheckpointManager.load_config(ckpt_dir)
-        vocab = Vocab.load(PACKAGED_VOCAB) if not (
-            Path(cfg.data.data_dir) / "vocab.json").exists() \
-            else Vocab.load(Path(cfg.data.data_dir) / "vocab.json")
-        cfg.model.vocab_size = len(vocab)
+        # the embedded config's vocab_size is authoritative (parameters were
+        # trained against it); pick a word table that matches it
+        data_vocab = Path(cfg.data.data_dir) / "vocab.json"
+        vocab = Vocab.load(data_vocab) if data_vocab.exists() \
+            else Vocab.load(PACKAGED_VOCAB)
+        if len(vocab) != cfg.model.vocab_size:
+            from multimodal_baby_tpu.core.constants import SPECIAL_TOKENS
+            words = list(SPECIAL_TOKENS) + [
+                f"<w{i}>" for i in range(cfg.model.vocab_size - 4)]
+            vocab = Vocab({w: i for i, w in enumerate(words)})
         model = CVCL(cfg.model)
 
         mgr = CheckpointManager(ckpt_dir)

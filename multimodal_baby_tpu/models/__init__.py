@@ -6,3 +6,4 @@ from multimodal_baby_tpu.models.vision_vit import (
     VisionTransformerDino, vit_base, vit_small, vit_large)
 from multimodal_baby_tpu.models.attention import AdditiveAttention
 from multimodal_baby_tpu.models import losses
+from multimodal_baby_tpu.models.beam_search import beam_search

@@ -232,6 +232,9 @@ class Trainer:
                         print(f"plateau: lr {lr:.2e} -> {new_lr:.2e}")
                 self.ckpt.save(self._checkpoint_tree(epoch), epoch,
                                val_loss, cfg)
+            if cfg.data.test_while_val and \
+                    (epoch + 1) % cfg.train.val_every_n_epochs == 0:
+                self.validate("test")
             dt = time.time() - t0
             print(f"epoch {epoch}: train_loss="
                   f"{train_metrics.get('loss', float('nan')):.4f} "

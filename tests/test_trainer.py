@@ -91,3 +91,37 @@ def test_aggregate_epoch_weighting():
     # token-weighted: (2*10 + 4*30) / 40
     assert abs(agg["ce_loss"] - 140 / 40) < 1e-9
     assert abs(agg["perplexity"] - math.exp(3.5)) < 1e-6
+
+
+def test_load_trained_checkpoint_via_public_api(tmp_path):
+    """The user path: train -> CVCLModel.from_checkpoint_dir -> encode."""
+    import jax.numpy as jnp
+    from multimodal_baby_tpu.api.model import CVCLModel
+
+    cfg = make_cfg(tmp_path, max_epochs=1)
+    trainer = Trainer(cfg)
+    trainer.fit()
+
+    model = CVCLModel.from_checkpoint_dir(tmp_path / "t", which="best")
+    imgs = np.random.RandomState(0).randn(2, 224, 224, 3).astype(np.float32)
+    feats = model.encode_image(imgs)
+    assert feats.shape == (2, 16)
+    # params actually came from the trained state, not a fresh init
+    trained = np.asarray(trainer.state.params["vision_encoder"]["head"]
+                         ["kernel"])
+    loaded = np.asarray(
+        model.variables["params"]["vision_encoder"]["head"]["kernel"])
+    np.testing.assert_array_equal(trained, loaded)
+
+
+def test_config_json_roundtrip():
+    from multimodal_baby_tpu.core.config import ExperimentConfig
+    cfg = ExperimentConfig()
+    cfg.model.embedding_dim = 512
+    cfg.model.text.text_encoder = "lstm"
+    cfg.parallel.mesh_shape = (4, 2)
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2.model.embedding_dim == 512
+    assert cfg2.model.text.text_encoder == "lstm"
+    assert cfg2.parallel.mesh_shape == (4, 2)
+    assert cfg2.to_json() == cfg.to_json()
