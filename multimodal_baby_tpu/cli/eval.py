@@ -41,7 +41,32 @@ def main(argv=None):
     parser.add_argument("--dump_attention_maps", type=int, default=0,
                         help="save grad-CAM overlays for the first N "
                              "trials (reference: eval_shuffled.py:196-228)")
+    parser.add_argument("--clip_eval", action="store_true",
+                        help="evaluate the CLIP baseline instead of a CVCL "
+                             "checkpoint (reference: eval.py:29-47; needs "
+                             "CLIP weights locally or network)")
+    parser.add_argument("--clip_model", type=str,
+                        default="openai/clip-vit-large-patch14")
     args = parser.parse_args(argv)
+
+    if args.clip_eval:
+        from multimodal_baby_tpu.data.vocab import Vocab
+        from multimodal_baby_tpu.evaluation.clip_baseline import (
+            CLIPBaseline, run_clip_forced_choice)
+
+        fname = args.eval_metadata_filename
+        if args.stage == "test":
+            fname = fname.replace("dev", "test")
+        data = load_metadata(Path(args.data_dir) / fname)
+        # labels come from trial categories; vocab only keys the dataset
+        vocab = Vocab({t["target_category"]: i
+                       for i, t in enumerate(data)})
+        dataset = EvalTrialDataset(data, vocab)
+        baseline = CLIPBaseline(model_name=args.clip_model)
+        acc, records = run_clip_forced_choice(baseline, dataset,
+                                              batch_size=args.batch_size)
+        print(f"CLIP baseline total accuracy: {acc:.1%}")
+        return {"total": acc}
 
     from multimodal_baby_tpu.api.model import load_model
     model, _ = load_model(args.checkpoint)
