@@ -1,18 +1,21 @@
-"""Caption-generation metrics: BLEU-1..4, ROUGE_L, CIDEr (pure Python).
+"""Caption-generation metrics: BLEU-1..4, METEOR, ROUGE_L, CIDEr, SPICE.
 
-Capability parity with the reference's pycocoevalcap wrapper
-(multimodal/textgen_eval.py:11-56) minus the Java-subprocess metrics
-(METEOR/SPICE), which are optional there and omitted here (no JVM in the
-TPU image); the returned dict uses the same keys so downstream logging is
-unchanged.
+Full capability parity with the reference's pycocoevalcap wrapper
+(multimodal/textgen_eval.py:11-56) — all five metric families, pure
+Python (the reference's METEOR/SPICE run in a Java subprocess; this image
+has no JVM, so both are reimplemented natively: see meteor.py, spice.py).
+The returned dict uses the same keys so downstream logging is unchanged.
 
 Algorithms follow the published COCO-caption definitions:
 - BLEU: corpus-level, clipped n-gram precision, closest-reference brevity
   penalty;
+- METEOR: Meteor 1.5 English scoring (exact+stem[+synonym] alignment,
+  content/function word weighting, fragmentation penalty) — meteor.py;
 - ROUGE_L: sentence-level LCS F-score (beta=1.2), max over references,
   mean over samples;
 - CIDEr: tf-idf weighted n-gram (n=1..4) cosine similarity with length
-  gaussian penalty (sigma=6), average over n, x10.
+  gaussian penalty (sigma=6), average over n, x10;
+- SPICE: scene-graph tuple F1 with rule-based shallow parse — spice.py.
 """
 
 from __future__ import annotations
@@ -159,9 +162,15 @@ def cider(list_of_references: List[List[str]], hypotheses: List[str],
 def evaluate(list_of_references: List[List[str]], hypotheses: List[str]
              ) -> Dict[str, float]:
     """Same output contract as the reference's textgen_eval.evaluate
-    (textgen_eval.py:36-55), pure-Python metrics only."""
+    (textgen_eval.py:36-55): all five metric families."""
+    from multimodal_baby_tpu.evaluation.meteor import meteor
+    from multimodal_baby_tpu.evaluation.spice import spice
+
+    assert len(list_of_references) == len(hypotheses)
     bleus = corpus_bleu(list_of_references, hypotheses)
     out = {f"Bleu_{i + 1}": b for i, b in enumerate(bleus)}
+    out["METEOR"] = meteor(list_of_references, hypotheses)
     out["ROUGE_L"] = rouge_l(list_of_references, hypotheses)
     out["CIDEr"] = cider(list_of_references, hypotheses)
+    out["SPICE"] = spice(list_of_references, hypotheses)
     return out
