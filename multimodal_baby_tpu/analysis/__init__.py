@@ -4,6 +4,8 @@ from multimodal_baby_tpu.analysis.attention_maps import (
 from multimodal_baby_tpu.analysis.representation_similarity import (
     rsa, cosine_similarity_matrix)
 from multimodal_baby_tpu.analysis.summaries import (
-    load_predictions, summarize, write_summary)
+    SUMMARY_COLUMNS, gather_results, load_predictions, summarize,
+    write_ablations_summary, write_bounds_summary,
+    write_object_categories_summary, write_summary, write_summary_csv)
 from multimodal_baby_tpu.analysis.descriptives import (
     corpus_stats, length_distribution, frequency_table)

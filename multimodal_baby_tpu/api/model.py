@@ -94,17 +94,42 @@ class CVCLModel:
     # ---- constructors ----
 
     @staticmethod
-    def from_checkpoint_dir(ckpt_dir, which: str = "best") -> "CVCLModel":
-        """Load a native checkpoint directory (this framework's trainer)."""
+    def from_checkpoint_dir(ckpt_dir, which: str = "best",
+                            allow_placeholder_vocab: bool = False
+                            ) -> "CVCLModel":
+        """Load a native checkpoint directory (this framework's trainer).
+
+        The checkpoint's embedded vocab_size is authoritative (the params
+        were trained against it). If no word table of that size can be
+        found, loading FAILS — a mismatched vocab would silently make
+        ``tokenize`` garbage. ``allow_placeholder_vocab=True`` opts into a
+        synthetic ``<w{i}>`` table for weight-surgery / embedding-only use.
+        """
         from multimodal_baby_tpu.train.checkpoint import CheckpointManager
         ckpt_dir = Path(ckpt_dir)
         cfg = CheckpointManager.load_config(ckpt_dir)
-        # the embedded config's vocab_size is authoritative (parameters were
-        # trained against it); pick a word table that matches it
-        data_vocab = Path(cfg.data.data_dir) / "vocab.json"
-        vocab = Vocab.load(data_vocab) if data_vocab.exists() \
-            else Vocab.load(PACKAGED_VOCAB)
+        # the trainer persists the training vocab inside the checkpoint
+        # dir (self-contained); fall back to the dataset dir, then to the
+        # packaged SAYCam table — first size-matching table wins
+        candidates = [p for p in (ckpt_dir / "vocab.json",
+                                  Path(cfg.data.data_dir) / "vocab.json",
+                                  Path(PACKAGED_VOCAB)) if p.exists()]
+        tables = [Vocab.load(p) for p in candidates]
+        vocab = next((v for v in tables
+                      if len(v) == cfg.model.vocab_size),
+                     tables[-1] if tables else Vocab({}))
+        data_vocab = candidates[-1] if candidates else Path(PACKAGED_VOCAB)
         if len(vocab) != cfg.model.vocab_size:
+            if not allow_placeholder_vocab:
+                raise ValueError(
+                    f"checkpoint was trained with vocab_size="
+                    f"{cfg.model.vocab_size} but the available word table "
+                    f"({data_vocab if data_vocab.exists() else PACKAGED_VOCAB}) "
+                    f"has {len(vocab)} entries; tokenization would be "
+                    f"meaningless. Place the training vocab.json under "
+                    f"{cfg.data.data_dir} or pass "
+                    f"allow_placeholder_vocab=True to load with a "
+                    f"synthetic vocab (embeddings only).")
             from multimodal_baby_tpu.core.constants import SPECIAL_TOKENS
             words = list(SPECIAL_TOKENS) + [
                 f"<w{i}>" for i in range(cfg.model.vocab_size - 4)]

@@ -42,6 +42,11 @@ def main(argv=None):
                         default="eval_filtered_dev.json")
     parser.add_argument("--subsets", type=float, nargs="+",
                         default=[1.0, 0.1, 0.01])
+    parser.add_argument(
+        "--split", type=str, default=None, choices=["first", "last"],
+        help="per-class half split (reference object_categories_linear_"
+             "decoding.py:58-77): train on the first/last half of each "
+             "class's dev images, report held-out-half accuracy")
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
@@ -52,7 +57,8 @@ def main(argv=None):
     from multimodal_baby_tpu.data.datasets import (
         EvalTrialDataset, load_metadata)
     from multimodal_baby_tpu.evaluation.linear_probe import (
-        extract_backbone_features, probe_forced_choice, train_linear_probe)
+        extract_backbone_features, half_split, probe_accuracy,
+        probe_forced_choice, train_linear_probe)
 
     model, _ = load_model(args.checkpoint)
     data_dir = Path(args.data_dir)
@@ -85,14 +91,26 @@ def main(argv=None):
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    heldout_idx = None
+    if args.split:
+        probe_train_idx, heldout_idx = half_split(train_labels, args.split)
+    else:
+        probe_train_idx = np.arange(len(train_labels))
+
     results = []
     for frac in args.subsets:
         params, metrics = train_linear_probe(
-            feats, train_labels, len(classes), lr=args.lr,
+            feats[probe_train_idx], train_labels[probe_train_idx],
+            len(classes), lr=args.lr,
             epochs=args.epochs, subset_fraction=frac, seed=args.seed)
         acc, preds = probe_forced_choice(params, test_feats, test_targets)
         record = {"subset": frac, "forced_choice_accuracy": acc,
                   **metrics}
+        if heldout_idx is not None:
+            record["split"] = args.split
+            record["heldout_accuracy"] = probe_accuracy(
+                params, feats[heldout_idx], train_labels[heldout_idx])
         results.append(record)
         print(f"subset {frac}: train_acc={metrics['train_acc']:.3f} "
               f"forced-choice acc={acc:.3f}")

@@ -129,6 +129,30 @@ def train_linear_probe(
     return jax.tree_util.tree_map(np.asarray, params), metrics
 
 
+def half_split(labels: np.ndarray, split: str
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-class first/last-half train/test split (reference
+    object_categories_linear_decoding.py:58-77): for every class, its
+    examples in dataset order are halved; ``split="first"`` trains on the
+    first half and tests on the second, ``split="last"`` the reverse.
+    Returns (train_indices, test_indices)."""
+    if split not in ("first", "last"):
+        raise ValueError(f"split must be 'first' or 'last', got {split!r}")
+    labels = np.asarray(labels)
+    train_idx, test_idx = [], []
+    for c in np.unique(labels):
+        idx = np.flatnonzero(labels == c)
+        cut = int(len(idx) * 0.5)
+        first, last = idx[:cut], idx[cut:]
+        if split == "first":
+            train_idx.append(first)
+            test_idx.append(last)
+        else:
+            train_idx.append(last)
+            test_idx.append(first)
+    return np.concatenate(train_idx), np.concatenate(test_idx)
+
+
 def probe_accuracy(params, features: np.ndarray, labels: np.ndarray
                    ) -> float:
     logits = features @ params["kernel"] + params["bias"]

@@ -32,23 +32,44 @@ def cross_entropy_with_int_labels(logits: jax.Array, labels: jax.Array
 
 
 def contrastive_loss_from_logits(
-    logits_per_image: jax.Array, logits_per_text: jax.Array
+    logits_per_image: jax.Array, logits_per_text: jax.Array,
+    valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Symmetric InfoNCE over the B x B similarity matrix with diagnostics
-    (reference: multimodal/multimodal.py:796-822)."""
+    (reference: multimodal/multimodal.py:796-822).
+
+    ``valid`` (bool [B], optional) marks real rows in a tail batch that was
+    padded up to the sharding-friendly shape (parallel.shard_batch): padded
+    rows are excluded from the row means AND masked out of the negative
+    pool, so the padded step computes exactly the unpadded loss.
+    """
     n = logits_per_image.shape[0]
     labels = jnp.arange(n)
-    loss_i = cross_entropy_with_int_labels(logits_per_image, labels).mean()
-    loss_t = cross_entropy_with_int_labels(logits_per_text, labels).mean()
+    if valid is None:
+        w = jnp.ones((n,), logits_per_image.dtype)
+    else:
+        w = valid.astype(logits_per_image.dtype)
+        col_mask = jnp.where(valid, 0.0, -1e9).astype(
+            logits_per_image.dtype)
+        logits_per_image = logits_per_image + col_mask[None, :]
+        logits_per_text = logits_per_text + col_mask[None, :]
+    # max(.,1): an all-padding shard contributes weight 0, not NaN
+    denom = jnp.maximum(w.sum(), 1.0)
+
+    def wmean(x):
+        return (x * w).sum() / denom
+
+    loss_i = wmean(cross_entropy_with_int_labels(logits_per_image, labels))
+    loss_t = wmean(cross_entropy_with_int_labels(logits_per_text, labels))
     infonce = (loss_i + loss_t) / 2.0
 
     metrics = {
-        "image_accuracy": (
-            jnp.argmax(logits_per_image, axis=-1) == labels).mean(),
-        "text_accuracy": (
-            jnp.argmax(logits_per_text, axis=-1) == labels).mean(),
-        "image_entropy": get_entropy(logits_per_image).mean(),
-        "text_entropy": get_entropy(logits_per_text).mean(),
+        "image_accuracy": wmean(
+            jnp.argmax(logits_per_image, axis=-1) == labels),
+        "text_accuracy": wmean(
+            jnp.argmax(logits_per_text, axis=-1) == labels),
+        "image_entropy": wmean(get_entropy(logits_per_image)),
+        "text_entropy": wmean(get_entropy(logits_per_text)),
     }
     return infonce, metrics
 

@@ -63,18 +63,31 @@ def batch_spec() -> P:
     return P(DATA_AXIS)
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, pad_to: Optional[int] = None):
     """Device-put a host batch, sharded along the leading axis.
 
-    Ragged remainder batches (leading dim not divisible by the data-axis
-    size) are placed replicated instead — they trigger a one-off compile
-    for their shape anyway, and correctness beats sharding a tail batch."""
+    Ragged tail batches (leading dim not divisible by the data-axis size)
+    are padded with wrap-around rows up to ``pad_to`` (typically the
+    loader's batch size, so the tail step reuses the steady-state
+    executable) or the next data-axis multiple, and a boolean ``valid``
+    row mask is added; the loss/metric path masks the padding out exactly
+    (models.losses.contrastive_loss_from_logits), so the tail batch runs
+    at full per-device throughput instead of replicated at 1/N.
+    """
+    d = mesh.shape[DATA_AXIS]
     leaves = jax.tree_util.tree_leaves(batch)
     n = leaves[0].shape[0] if leaves else 0
-    if n % mesh.shape[DATA_AXIS] != 0:
-        sharding = replicated(mesh)
-    else:
-        sharding = batch_sharding(mesh)
+    if n % d != 0:
+        target = pad_to if pad_to and pad_to >= n and pad_to % d == 0 \
+            else -(-n // d) * d
+        idx = np.concatenate([np.arange(n), np.arange(target - n) % n])
+        if isinstance(batch, dict):
+            batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
+            batch["valid"] = np.arange(target) < n
+        else:
+            batch = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[idx], batch)
+    sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

@@ -50,9 +50,9 @@ def init_train_state(model, cfg: ExperimentConfig, optimizer, rng,
                       jax.random.fold_in(rng, 1), jnp.zeros((), jnp.int32))
 
 
-def _infonce(logits_per_image, logits_per_text, metrics_out):
+def _infonce(logits_per_image, logits_per_text, metrics_out, valid=None):
     infonce, m = L.contrastive_loss_from_logits(
-        logits_per_image, logits_per_text)
+        logits_per_image, logits_per_text, valid=valid)
     metrics_out.update(m)
     return infonce
 
@@ -96,8 +96,14 @@ def make_loss_fn(model, cfg: ExperimentConfig,
                 method="joint_forward", **kwargs)
             new_batch_stats = batch_stats
 
+        # tail batches arrive padded to the sharding-friendly shape with a
+        # boolean row mask (parallel.shard_batch); losses/metrics below
+        # exclude the padded rows exactly
+        valid = batch.get("valid")
         metrics: Dict[str, jax.Array] = {
-            "batch_size": jnp.asarray(image.shape[0], jnp.float32),
+            "batch_size": (valid.sum().astype(jnp.float32)
+                           if valid is not None
+                           else jnp.asarray(image.shape[0], jnp.float32)),
             "temperature": jnp.exp(-out["logit_neg_log_temperature"]),
         }
 
@@ -105,17 +111,24 @@ def make_loss_fn(model, cfg: ExperimentConfig,
         if use_mm:
             if per_shard:
                 # independent InfoNCE per data shard (recipe-parity mode)
-                infonce = _per_shard_infonce(mesh, out, metrics)
+                infonce = _per_shard_infonce(mesh, out, metrics, valid)
             else:
                 infonce = _infonce(out["logits_per_image"],
-                                   out["logits_per_text"], metrics)
+                                   out["logits_per_text"], metrics,
+                                   valid=valid)
             metrics["infonce_loss"] = infonce
 
         lm_ce = 0.0
         attn_reg = 0.0
         if use_lm:
-            ce, _ = L.lm_cross_entropy(out["lm_logits"], out["lm_labels"])
-            breakdown = L.lm_loss_breakdown(ce, out["lm_labels"])
+            lm_labels = out["lm_labels"]
+            if valid is not None:
+                # padded rows contribute no tokens (PAD == ignore_index)
+                from multimodal_baby_tpu.core.constants import PAD_TOKEN_ID
+                lm_labels = jnp.where(valid[:, None], lm_labels,
+                                      PAD_TOKEN_ID)
+            ce, _ = L.lm_cross_entropy(out["lm_logits"], lm_labels)
+            breakdown = L.lm_loss_breakdown(ce, lm_labels)
             metrics.update(breakdown)
             lm_ce = breakdown["ce_loss"]
             if has_attention and out.get("attns") is not None:
@@ -130,38 +143,47 @@ def make_loss_fn(model, cfg: ExperimentConfig,
     return loss_fn
 
 
-def _per_shard_infonce(mesh, out, metrics):
+def _per_shard_infonce(mesh, out, metrics, valid=None):
     """Per-data-shard InfoNCE via shard_map: each shard's B_local x B_local
     block is an independent contrastive problem (reference bs-8 recipe at
-    full-chip throughput)."""
+    full-chip throughput). All reference diagnostics (accuracy + entropy,
+    multimodal_lit.py:377-443) are pmean-reduced across shards."""
     from jax import shard_map
 
     lpi = out["logits_per_image"]
+    if valid is None:
+        valid = jnp.ones((lpi.shape[0],), jnp.bool_)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None),),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=tuple(P() for _ in range(5)),
     )
-    def local_infonce(lpi_rows):
+    def local_infonce(lpi_rows, valid_rows):
         # lpi_rows: [B_local, B_global]; take the diagonal block
         idx = jax.lax.axis_index(DATA_AXIS)
         b_local = lpi_rows.shape[0]
         block = jax.lax.dynamic_slice_in_dim(
             lpi_rows, idx * b_local, b_local, axis=1)
         m: Dict[str, jax.Array] = {}
-        loss = _infonce(block, block.T, m)
-        # mean across shards
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        acc_i = jax.lax.pmean(m["image_accuracy"], DATA_AXIS)
-        acc_t = jax.lax.pmean(m["text_accuracy"], DATA_AXIS)
-        return loss, acc_i, acc_t
+        loss = _infonce(block, block.T, m, valid=valid_rows)
+        # weight each shard's stats by its valid count so the pooled
+        # numbers equal the unsharded computation
+        w = valid_rows.sum().astype(loss.dtype)
+        w_total = jax.lax.psum(w, DATA_AXIS)
 
-    loss, acc_i, acc_t = local_infonce(lpi)
+        def pooled(x):
+            return jax.lax.psum(x * w, DATA_AXIS) / w_total
+
+        return (pooled(loss), pooled(m["image_accuracy"]),
+                pooled(m["text_accuracy"]), pooled(m["image_entropy"]),
+                pooled(m["text_entropy"]))
+
+    loss, acc_i, acc_t, ent_i, ent_t = local_infonce(lpi, valid)
     metrics["image_accuracy"] = acc_i
     metrics["text_accuracy"] = acc_t
-    metrics["image_entropy"] = jnp.zeros(())  # not tracked per-shard
-    metrics["text_entropy"] = jnp.zeros(())
+    metrics["image_entropy"] = ent_i
+    metrics["text_entropy"] = ent_t
     return loss
 
 

@@ -48,6 +48,14 @@ class Trainer:
         self.ckpt = CheckpointManager(
             Path(cfg.train.checkpoint_dir) / cfg.exp_name,
             save_top_k=cfg.train.save_top_k)
+        # make the checkpoint dir self-contained: persist the training
+        # vocab next to the weights so from_checkpoint_dir never has to
+        # guess a word table (reference embeds the vocab via hparams,
+        # multimodal_lit.py:74)
+        if self.data.vocab is not None:
+            vocab_path = self.ckpt.dir / "vocab.json"
+            if not vocab_path.exists():
+                self.data.vocab.save(vocab_path)
         self.logger = MetricsLogger(
             Path(cfg.train.checkpoint_dir) / cfg.exp_name,
             use_wandb=cfg.train.logger == "wandb",
@@ -67,9 +75,9 @@ class Trainer:
         batch = next(iter(loader))
         return self._device_batch(batch)
 
-    def _device_batch(self, batch):
+    def _device_batch(self, batch, pad_to=None):
         arrays = {k: v for k, v in batch.items() if k != "raw"}
-        return shard_batch(self.mesh, arrays)
+        return shard_batch(self.mesh, arrays, pad_to=pad_to)
 
     def _build(self):
         cfg = self.cfg
@@ -143,7 +151,8 @@ class Trainer:
                 # one-batch transfer lookahead; metrics stay on device so
                 # the host never blocks inside the epoch (steps dispatch
                 # asynchronously and pipeline with the H2D copies)
-                device_batch = self._device_batch(batch)
+                device_batch = self._device_batch(
+                    batch, pad_to=cfg.data.batch_size)
                 if pending is not None:
                     self.state, metrics = self.train_step(
                         self.state, pending)
@@ -174,7 +183,8 @@ class Trainer:
                                 num_workers=cfg.data.num_workers)
             with self.mesh:
                 for batch in loader:
-                    device_batch = self._device_batch(batch)
+                    device_batch = self._device_batch(
+                        batch, pad_to=cfg.data.val_batch_size)
                     metrics = self.eval_step(
                         self.state.params, self.state.batch_stats,
                         device_batch)

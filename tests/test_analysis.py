@@ -121,3 +121,62 @@ def test_processing_token_data():
     assert set(summary.token) == {"ball", "dog", "<eos>"}
     hidden = mean_hidden_per_word(data)
     assert hidden["mean_hidden"].shape[1] == 16
+
+
+def _write_pred(path, seed=0, stage="test", eval_dataset="saycam",
+                cats=("ball", "dog", "cat", "cup")):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for t in range(3):
+        rows.append({
+            "checkpoint": f"ckpt_seed_{seed}", "model": "embedding",
+            "seed": seed, "shuffle_utterances": False,
+            "augment_frames": True, "multiple_frames": True,
+            "cnn": "frozen_pretrained", "eval_type": "image",
+            "eval_dataset": eval_dataset, "stage": stage, "trial_idx": t,
+            "categories": list(cats), "logits": [0.7, 0.1, 0.1, 0.1],
+            "pred": 0, "correct": True,
+        })
+    path.write_text(json.dumps({"data": rows}))
+
+
+def test_clean_py_summary_contract(tmp_path):
+    """The summary writers produce clean.py's row-level CSV schema:
+    the shipped saycam-transformer-summary.csv column order, with
+    target_category/config/filtered annotations per group."""
+    import pandas as pd
+    from multimodal_baby_tpu.analysis.summaries import (
+        SUMMARY_COLUMNS, write_bounds_summary,
+        write_object_categories_summary)
+
+    d = tmp_path / "results"
+    for seed in (0, 1, 2):
+        _write_pred(d / "saycam" /
+                    f"embedding_frozen_pretrained_seed_{seed}_image_"
+                    "saycam_test_eval_predictions.json", seed=seed)
+    _write_pred(d / "saycam" /
+                "shuffle_embedding_frozen_pretrained_seed_0_image_"
+                "saycam_test_eval_predictions.json")
+    _write_pred(d / "object_categories" /
+                "embedding_frozen_pretrained_seed_0_image_"
+                "object_categories_test_eval_predictions.json",
+                eval_dataset="object_categories")
+
+    out = tmp_path / "bounds.csv"
+    df = write_bounds_summary(d, out)
+    assert out.exists()
+    # column order: the reference schema prefix, then annotations
+    assert list(df.columns[:len(SUMMARY_COLUMNS)]) == SUMMARY_COLUMNS
+    assert "filtered" in df.columns
+    assert set(df["config"]) == {"contrastive_embedding",
+                                 "contrastive_shuffled"}
+    assert (df["target_category"] == "ball").all()
+    assert len(df) == 4 * 3  # 4 files x 3 trials
+
+    # round-trips through CSV with the reference's stringified lists
+    back = pd.read_csv(out, index_col=0)
+    assert back["categories"].iloc[0] == "['ball', 'dog', 'cat', 'cup']"
+
+    df2 = write_object_categories_summary(d, tmp_path / "oc.csv")
+    assert set(df2["config"]) == {"contrastive"}
+    assert "split" in df2.columns

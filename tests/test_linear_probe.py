@@ -45,3 +45,28 @@ def test_forced_choice_with_good_probe():
     acc, preds = probe_forced_choice(params, trial_feats, target_class)
     assert acc > 0.95
     assert preds.shape == (N,)
+
+
+def test_half_split_reference_semantics():
+    """Per-class first/last-half splits mirror the reference
+    (object_categories_linear_decoding.py:58-77): dataset-order halves,
+    disjoint, exhaustive, and 'last' is the complement of 'first'."""
+    import numpy as np
+    from multimodal_baby_tpu.evaluation.linear_probe import half_split
+
+    labels = np.array([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 0, 1])
+    tr_f, te_f = half_split(labels, "first")
+    tr_l, te_l = half_split(labels, "last")
+    # class 0 has 6 examples at positions [0,1,2,3,4,10] -> first half
+    # [0,1,2], class 1 at [5,6,7,11] -> [5,6], class 2 at [8,9] -> [8]
+    assert sorted(tr_f.tolist()) == [0, 1, 2, 5, 6, 8]
+    # disjoint + exhaustive
+    assert sorted(np.concatenate([tr_f, te_f]).tolist()) == list(range(12))
+    assert set(tr_f) & set(te_f) == set()
+    # last == complement
+    assert sorted(tr_l.tolist()) == sorted(te_f.tolist())
+    assert sorted(te_l.tolist()) == sorted(tr_f.tolist())
+
+    import pytest
+    with pytest.raises(ValueError):
+        half_split(labels, "middle")

@@ -163,3 +163,53 @@ def test_temperature_is_trained_and_logged():
     state1, metrics = train_step(state, batch_j)
     assert abs(float(metrics["temperature"]) - np.exp(-t0)) < 1e-5
     assert float(state1.params["logit_neg_log_temperature"]) != t0
+
+
+def test_ragged_tail_pads_and_masks_exactly():
+    """A ragged tail batch (13 on an 8-device mesh) is padded with
+    wrap-around rows + a valid mask, shards cleanly, and the loss/metrics
+    equal the unpadded single-device computation exactly."""
+    cfg = make_cfg()
+    batch = make_batch(7, b=13)
+    model, variables = setup(cfg, batch)
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    rng = jax.random.PRNGKey(5)
+
+    loss_fn = make_loss_fn(model, cfg)
+    loss_raw, (m_raw, _) = loss_fn(
+        params, bs, jax.tree_util.tree_map(jnp.asarray, batch), rng, False)
+
+    mesh = create_mesh((-1, 1))
+    sharded = shard_batch(mesh, batch, pad_to=16)
+    assert "valid" in sharded and sharded["image"].shape[0] == 16
+    # every leaf sharded over all 8 devices (not replicated)
+    assert len(sharded["image"].sharding.device_set) == 8
+    with mesh:
+        loss_pad, (m_pad, _) = jax.jit(
+            lambda p, s, b: loss_fn(p, s, b, rng, False))(params, bs, sharded)
+
+    np.testing.assert_allclose(float(loss_raw), float(loss_pad), rtol=1e-5)
+    for k in ("image_accuracy", "text_accuracy", "image_entropy",
+              "text_entropy"):
+        np.testing.assert_allclose(
+            float(m_raw[k]), float(m_pad[k]), rtol=1e-4, err_msg=k)
+    assert float(m_pad["batch_size"]) == 13.0
+
+
+def test_per_shard_mode_logs_entropy():
+    """Recipe-parity mode must report the reference's entropy diagnostics
+    (multimodal_lit.py:377-443), not zeros."""
+    cfg = make_cfg()
+    cfg.parallel.global_batch_negatives = False
+    batch = make_batch(8)
+    model, variables = setup(cfg, batch)
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    mesh = create_mesh((-1, 1))
+    loss_fn = make_loss_fn(model, cfg, mesh)
+    sharded = shard_batch(mesh, batch)
+    with mesh:
+        _, (metrics, _) = jax.jit(
+            lambda p, s, b: loss_fn(p, s, b, jax.random.PRNGKey(0), False)
+        )(params, bs, sharded)
+    assert float(metrics["image_entropy"]) > 0.0
+    assert float(metrics["text_entropy"]) > 0.0

@@ -125,3 +125,25 @@ def test_config_json_roundtrip():
     assert cfg2.model.text.text_encoder == "lstm"
     assert cfg2.parallel.mesh_shape == (4, 2)
     assert cfg2.to_json() == cfg.to_json()
+
+
+def test_vocab_mismatch_is_hard_error(tmp_path):
+    """A checkpoint whose vocab_size no word table matches must refuse to
+    load (silent placeholder vocab would make tokenize garbage) unless
+    explicitly opted into."""
+    import pytest
+    from multimodal_baby_tpu.api.model import CVCLModel
+
+    cfg = make_cfg(tmp_path, max_epochs=1)
+    trainer = Trainer(cfg)
+    trainer.fit()
+
+    # corrupt the embedded config's vocab_size so no table can match
+    import json
+    cfg_path = tmp_path / "t" / "config.json"
+    blob = json.loads(cfg_path.read_text())
+    blob["model"]["vocab_size"] = 999
+    cfg_path.write_text(json.dumps(blob))
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        CVCLModel.from_checkpoint_dir(tmp_path / "t", which="best")
