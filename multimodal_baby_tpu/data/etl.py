@@ -339,7 +339,9 @@ def create_eval_metadata(
     for stage in ("dev", "test"):
         stage_dir = eval_frames_dir / stage
         cats = sorted(d.name for d in stage_dir.iterdir() if d.is_dir())
-        cats = [c for c in cats if c not in excluded_categories]
+        # empty dirs can occur after CLIP filtering: no trials for them
+        cats = [c for c in cats if c not in excluded_categories
+                and any((stage_dir / c).iterdir())]
         categories = cats
         trials = []
         for target in cats:
@@ -405,6 +407,159 @@ def animate_utterance(entry: dict, out_path, duration_ms: int = 200,
 
 
 # ---------------------------------------------------------------------------
+# 0. transcript download
+# ---------------------------------------------------------------------------
+
+def _sheet_export_urls(link: str) -> str:
+    """Google-Sheets share link -> public CSV export URL."""
+    m = re.search(r"/spreadsheets/d/([A-Za-z0-9_-]+)", link)
+    if not m:
+        raise ValueError(f"not a Google Sheets link: {link}")
+    return (f"https://docs.google.com/spreadsheets/d/{m.group(1)}"
+            f"/export?format=csv")
+
+
+def download_transcripts(links_csv, out_dir, fetch=None,
+                         sleep_s: float = 30.0) -> int:
+    """Download SAYCam transcripts listed in a links CSV
+    (reference: multimodal_saycam_data_module.py:214-253).
+
+    Differences from the reference, by design: the reference drives the
+    authenticated gsheets API (credentials file + per-worksheet
+    enumeration); this uses the public CSV export URL per sheet, with the
+    fetch callable injectable (``fetch(url) -> bytes``) so the step is
+    testable offline. Idempotent: skips when ``out_dir`` exists. Returns
+    the number of files written.
+    """
+    import pandas as pd
+
+    out_dir = Path(out_dir)
+    if out_dir.exists():
+        print("transcripts already downloaded; skipping")
+        return 0
+    if fetch is None:
+        from urllib.request import urlopen
+
+        def fetch(url):  # pragma: no cover - needs network
+            with urlopen(url, timeout=60) as r:
+                return r.read()
+
+    df = pd.read_csv(links_csv)
+    links = df["GoogleSheets Link"].dropna().unique()
+    out_dir.mkdir(parents=True)
+    written = 0
+    for i, link in enumerate(links):
+        url = _sheet_export_urls(link)
+        print(f"downloading transcript {i + 1}/{len(links)}")
+        try:
+            payload = fetch(url)
+        except Exception as e:  # rate limits / private sheets
+            print(f"  fetch failed ({e}); skipping")
+            continue
+        title = None
+        if "Title" in df.columns:
+            row = df[df["GoogleSheets Link"] == link]
+            if len(row):
+                title = str(row.iloc[0]["Title"])
+        name = title or f"transcript_{i:03d}"
+        (out_dir / f"{name}.csv").write_bytes(
+            payload if isinstance(payload, bytes) else payload.encode())
+        written += 1
+        if sleep_s and i + 1 < len(links):
+            import time
+            time.sleep(sleep_s)  # reference rate-limit guard
+    return written
+
+
+# ---------------------------------------------------------------------------
+# 5. eval-frame filtering + dev/test splits
+# ---------------------------------------------------------------------------
+
+def filter_eval_frames(labeled_s_dir, filtered_dir, scorer=None,
+                       excluded_categories: Sequence[str] =
+                       EXCLUDED_EVAL_CATEGORIES,
+                       batch_size: int = 64) -> int:
+    """CLIP self-filtering of the Labeled-S eval frames (reference:
+    multimodal_saycam_data_module.py:545-606): keep a frame only if a
+    zero-shot classifier's top category over all eval categories matches
+    the frame's own category.
+
+    ``scorer(images_u8 [N,H,W,3], categories) -> pred indices [N]``; the
+    default builds the CLIP ViT-B/16 baseline (evaluation.clip_baseline,
+    needs the weights locally). Idempotent: skips when ``filtered_dir``
+    exists. Returns number of frames kept.
+    """
+    import shutil
+
+    from PIL import Image
+
+    labeled_s_dir = Path(labeled_s_dir)
+    filtered_dir = Path(filtered_dir)
+    if filtered_dir.exists():
+        print("eval frames already filtered; skipping")
+        return 0
+
+    categories = sorted(d.name for d in labeled_s_dir.iterdir()
+                        if d.is_dir())
+    categories = [c for c in categories if c not in excluded_categories]
+
+    if scorer is None:
+        from multimodal_baby_tpu.evaluation.clip_baseline import (
+            CLIPBaseline)
+        clip = CLIPBaseline(model_name="openai/clip-vit-base-patch16")
+        text_features = clip.encode_text(categories)
+
+        def scorer(images_u8, cats):
+            img_features = clip.encode_image(images_u8)
+            return (img_features @ text_features.T).argmax(-1)
+
+    filtered_dir.mkdir(parents=True)
+    kept = 0
+    for ci, category in enumerate(categories):
+        (filtered_dir / category).mkdir()
+        frames = sorted((labeled_s_dir / category).glob("*.jpeg")) + \
+            sorted((labeled_s_dir / category).glob("*.jpg")) + \
+            sorted((labeled_s_dir / category).glob("*.png"))
+        for s in range(0, len(frames), batch_size):
+            chunk = frames[s:s + batch_size]
+            imgs = np.stack([
+                np.asarray(Image.open(p).convert("RGB")) for p in chunk])
+            preds = np.asarray(scorer(imgs, categories))
+            for p, pred in zip(chunk, preds):
+                if int(pred) == ci:
+                    shutil.copyfile(p, filtered_dir / category / p.name)
+                    kept += 1
+    return kept
+
+
+def split_eval_frames(labeled_s_dir, out_dir, seed: int = 0) -> None:
+    """50/50 per-category dev/test split of (possibly filtered) Labeled-S
+    frames (reference: multimodal_saycam_data_module.py:608-734).
+    Idempotent: skips when ``out_dir`` exists."""
+    import shutil
+
+    labeled_s_dir = Path(labeled_s_dir)
+    out_dir = Path(out_dir)
+    if out_dir.exists():
+        print("eval frames already split; skipping")
+        return
+    rng = np.random.RandomState(seed)
+    for category_dir in sorted(labeled_s_dir.iterdir()):
+        if not category_dir.is_dir():
+            continue
+        frames = sorted(p.name for p in category_dir.iterdir())
+        idxs = np.arange(len(frames))
+        rng.shuffle(idxs)
+        half = int(len(frames) * 0.5)
+        for stage, stage_idxs in (("dev", idxs[:half]),
+                                  ("test", idxs[half:])):
+            dst = out_dir / stage / category_dir.name
+            dst.mkdir(parents=True, exist_ok=True)
+            for i in stage_idxs:
+                shutil.copyfile(category_dir / frames[i], dst / frames[i])
+
+
+# ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
 
@@ -415,15 +570,53 @@ def prepare_data(
     eval_frames_dir=None,
     allowed_speakers: Sequence[str] = DEFAULT_ALLOWED_SPEAKERS,
     seed: int = 0,
+    transcript_links_csv=None,
+    labeled_s_dir=None,
+    clip_scorer=None,
+    fetch=None,
 ) -> None:
     """Idempotent end-to-end ETL (reference prepare_data:
     multimodal_saycam_data_module.py:159-176). Steps whose inputs are
-    absent are skipped, so partially-materialized datasets resume."""
+    absent are skipped, so partially-materialized datasets resume.
+
+    Full from-raw staging: ``transcript_links_csv`` downloads transcripts
+    into ``data_dir/transcripts`` (becoming ``transcript_dir``);
+    ``labeled_s_dir`` splits the Labeled-S frames 50/50 into
+    ``data_dir/eval`` and, when a CLIP scorer is available (``clip_scorer``
+    or local CLIP weights), also builds the CLIP-filtered variant under
+    ``data_dir/eval_filtered`` + ``eval_filtered_{dev,test}.json``.
+    """
     import pandas as pd
 
     data_dir = Path(data_dir)
     pre_dir = data_dir / "preprocessed_transcripts_5fps"
     frames_dir = data_dir / "train_5fps"
+
+    if transcript_links_csv and Path(transcript_links_csv).exists() \
+            and transcript_dir is None:
+        transcript_dir = data_dir / "transcripts"
+        download_transcripts(transcript_links_csv, transcript_dir,
+                             fetch=fetch)
+
+    if labeled_s_dir and Path(labeled_s_dir).exists():
+        if eval_frames_dir is None:
+            eval_frames_dir = data_dir / "eval"
+            split_eval_frames(labeled_s_dir, eval_frames_dir, seed=seed)
+        # CLIP-filtered variant (skip-if-unavailable: needs a scorer or
+        # local CLIP weights)
+        filtered_src = data_dir / "labeled_s_filtered"
+        filtered_eval = data_dir / "eval_filtered"
+        try:
+            filter_eval_frames(labeled_s_dir, filtered_src,
+                               scorer=clip_scorer)
+        except Exception as e:
+            print(f"CLIP eval-frame filtering unavailable ({e}); skipping")
+        if filtered_src.exists() and not filtered_eval.exists():
+            split_eval_frames(filtered_src, filtered_eval, seed=seed)
+        if filtered_eval.exists() \
+                and not (data_dir / "eval_filtered_dev.json").exists():
+            create_eval_metadata(filtered_eval, data_dir, seed=seed,
+                                 prefix="eval_filtered")
 
     if transcript_dir and Path(transcript_dir).exists() \
             and not pre_dir.exists():

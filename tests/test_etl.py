@@ -144,3 +144,108 @@ def test_extract_frame_array():
     assert out.shape == (224, 224, 3)
     # 180-degree rotation: corners swap
     assert etl.extract_frame_array(None) is None
+
+
+def test_download_transcripts_offline(tmp_path):
+    """Transcript download (ref :214-253): injectable fetch, idempotent."""
+    links = tmp_path / "links.csv"
+    links.write_text(
+        "Title,GoogleSheets Link\n"
+        "A_001_S,https://docs.google.com/spreadsheets/d/abc123/edit#gid=0\n"
+        "A_002_S,https://docs.google.com/spreadsheets/d/def456/edit\n")
+    calls = []
+
+    def fake_fetch(url):
+        calls.append(url)
+        return b"Time,Speaker,Utterance\n01:00,M,hi ball\n"
+
+    out = tmp_path / "transcripts"
+    n = etl.download_transcripts(links, out, fetch=fake_fetch, sleep_s=0)
+    assert n == 2
+    assert (out / "A_001_S.csv").exists()
+    assert "spreadsheets/d/abc123/export?format=csv" in calls[0]
+    # idempotent: second call skips
+    assert etl.download_transcripts(links, out, fetch=fake_fetch,
+                                    sleep_s=0) == 0
+    assert len(calls) == 2
+
+
+def _make_labeled_s(root, categories=("ball", "dog"), n=6):
+    """Synthetic Labeled-S tree; the green channel encodes the category's
+    index in sorted order so a fake scorer can 'classify' frames."""
+    from PIL import Image
+    for c in categories:
+        d = root / c
+        d.mkdir(parents=True)
+        ci = sorted(categories).index(c)
+        for i in range(n):
+            Image.new("RGB", (32, 32), (i * 20 % 255, ci, 0)).save(
+                d / f"{c}_{i}.png")
+
+
+def test_filter_and_split_eval_frames(tmp_path):
+    """CLIP self-filtering (ref :545-606) with an injected scorer + the
+    50/50 dev/test split (ref :608-734)."""
+    labeled = tmp_path / "labeled_s"
+    _make_labeled_s(labeled)
+
+    def scorer(images_u8, cats):
+        # keep every other frame: alternate correct/incorrect predictions
+        n = images_u8.shape[0]
+        return np.array([i % len(cats) for i in range(n)])
+
+    kept = etl.filter_eval_frames(labeled, tmp_path / "filtered",
+                                  scorer=scorer)
+    # category 0 ("ball"): preds 0,1,0,1,0,1 -> 3 kept; "dog": 3 kept
+    assert kept == 6
+    assert len(list((tmp_path / "filtered" / "ball").iterdir())) == 3
+    # idempotent
+    assert etl.filter_eval_frames(labeled, tmp_path / "filtered",
+                                  scorer=scorer) == 0
+
+    etl.split_eval_frames(tmp_path / "filtered", tmp_path / "eval", seed=0)
+    for c in ("ball", "dog"):
+        dev = set(p.name for p in (tmp_path / "eval/dev" / c).iterdir())
+        test = set(p.name for p in (tmp_path / "eval/test" / c).iterdir())
+        assert len(dev) == 1 and len(test) == 2  # 3 frames -> 1/2 split
+        assert dev & test == set()
+
+
+def test_prepare_data_full_staging(tmp_path):
+    """prepare_data runs all from-raw stages on a synthetic fixture:
+    transcript download -> preprocess -> metadata -> eval filtering ->
+    filtered trial JSONs -> vocab."""
+    links = tmp_path / "links.csv"
+    links.write_text(
+        "Title,GoogleSheets Link\n"
+        "A_001_S,https://docs.google.com/spreadsheets/d/abc/edit\n")
+
+    def fake_fetch(url):
+        rows = ["Time,Speaker,Utterance,Video Name"]
+        for m in range(12):
+            rows.append(f"{m}:00,M,look at the ball and the dog,A_001.avi")
+        return ("\n".join(rows) + "\n").encode()
+
+    labeled = tmp_path / "labeled_s"
+    _make_labeled_s(labeled, categories=("ball", "dog", "cat", "car",
+                                         "shoe"), n=4)
+
+    def scorer(images_u8, cats):
+        # 'classify' by reading the category index off the green channel
+        return images_u8[:, 0, 0, 1].astype(np.int64)
+
+    data_dir = tmp_path / "data"
+    etl.prepare_data(data_dir, transcript_links_csv=links,
+                     labeled_s_dir=labeled, clip_scorer=scorer,
+                     fetch=fake_fetch, seed=0)
+    assert (data_dir / "transcripts" / "A_001_S.csv").exists()
+    assert (data_dir / "train.json").exists()
+    assert (data_dir / "vocab.json").exists()
+    assert (data_dir / "eval" / "dev" / "ball").exists()
+    # the perfect scorer keeps every frame in every category
+    assert len(list((data_dir / "labeled_s_filtered" / "ball").iterdir())) \
+        == 4
+    assert (data_dir / "eval_filtered_dev.json").exists()
+    trials = json.loads(
+        (data_dir / "eval_filtered_dev.json").read_text())["data"]
+    assert trials and len(trials[0]["foil_categories"]) == 3
