@@ -183,7 +183,16 @@ class ResNeXt50(nn.Module):
     ``dense_groups`` (frozen trunks only) see BottleneckX."""
 
     dtype: Any = None
-    dense_groups: bool = False
+    # per-stage dense-ification of the grouped 3x3 convs (see BottleneckX):
+    # True = expand to a block-diagonal dense kernel (more FLOPs, MXU-
+    # friendly), False = XLA grouped-conv lowering. A bool means
+    # "layer1 only" (round-1 behavior); a 4-tuple picks per stage.
+    dense_groups: Any = False
+
+    def _dense_stage(self, stage_idx: int) -> bool:
+        if isinstance(self.dense_groups, (tuple, list)):
+            return bool(self.dense_groups[stage_idx])
+        return bool(self.dense_groups) and stage_idx == 0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -207,13 +216,10 @@ class ResNeXt50(nn.Module):
                 s = stride if block_idx == 0 else 1
                 needs_ds = block_idx == 0 and (
                     s != 1 or in_ch != planes * EXPANSION)
-                # dense-ifying groups only pays where groups are narrow
-                # (layer1: 4 ch/group -> reshape overhead > 9x-FLOP cost;
-                # deeper stages: wide groups make the dense form lose)
                 y = BottleneckX(
                     planes=planes, stride=s, has_downsample=needs_ds,
                     dtype=dt,
-                    dense_groups=self.dense_groups and planes == 64,
+                    dense_groups=self._dense_stage(stage_idx),
                     fused_epilogue=False,  # see BottleneckX docstring
                     name=f"layer{stage_idx + 1}_{block_idx}")(y, train=train)
                 in_ch = planes * EXPANSION

@@ -51,8 +51,10 @@ for upto in range(5):
     @jax.jit
     def run(v, x):
         def body(c, _):
-            return c, m.apply(v, x)
-        _, outs = jax.lax.scan(body, 0, None, length=10)
+            # carry-dependent input defeats loop-invariant hoisting
+            out = m.apply(v, x + c)
+            return out * 0.0, out
+        _, outs = jax.lax.scan(body, jnp.float32(0), None, length=10)
         return outs.sum()
     dt = timed(run, v, x)
     name = "stem" if upto == 0 else f"+layer{upto}"
