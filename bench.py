@@ -89,7 +89,8 @@ def main():
 
     def one_step(carry, key):
         params, batch_stats, opt_state = carry
-        imgs = augment_batch(key, batch["image_u8"], augment=True)
+        imgs = augment_batch(key, batch["image_u8"], augment=True,
+                             dtype=jnp.bfloat16)
 
         def loss_fn(p):
             (lpi, lpt), upd = model.apply(

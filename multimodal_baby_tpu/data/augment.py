@@ -86,25 +86,29 @@ def _blur_matrices(key_p, key_s, batch: int, size: int) -> jax.Array:
     return jnp.where(do_blur[:, None, None], g, eye)
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "augment"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_size", "augment", "dtype"))
 def augment_batch(
     key: jax.Array,
     images: jax.Array,  # [B, H, W, 3] uint8
     out_size: int = 224,
     augment: bool = True,
+    dtype=jnp.float32,
 ) -> jax.Array:
     """Full train-time pipeline: RandomResizedCrop + GaussianBlur(p=.5) +
-    HFlip + ImageNet normalize. Returns float32 [B, out, out, 3]."""
+    HFlip + ImageNet normalize. Returns [B, out, out, 3] in ``dtype``
+    (pass bf16 on the train hot path: the trunk computes in bf16 anyway,
+    and the normalize affine fuses into the last resample matmul)."""
     B, H, W, _ = images.shape
     if not augment:
         if (H, W) == (out_size, out_size):
-            return normalize_image(images)
+            return normalize_image(images).astype(dtype)
         x = images.astype(jnp.float32)
         if images.dtype == jnp.uint8:
             x = x / 255.0
         x = jax.image.resize(
             x, (B, out_size, out_size, 3), method="bilinear")
-        return normalize_image(x)
+        return normalize_image(x).astype(dtype)
 
     k_crop, k_blur_p, k_blur_s, k_flip = jax.random.split(key, 4)
 
@@ -124,14 +128,21 @@ def augment_batch(
     cx = _interp_matrices(jnp.clip(xs, 0.0, W - 1.0), W)   # [B, out, W]
     gy = _blur_matrices(k_blur_p, k_blur_s, B, out_size)   # [B, out, out]
 
+    # compose blur into the interpolation matrices: the image is touched
+    # by TWO [out, in] matmuls total instead of four (crop/resize and blur
+    # are both linear; same sigma both axes like torchvision)
+    a_row = jnp.einsum("bpo,boh->bph", gy, ry)             # [B, out, H]
+    a_col = jnp.einsum("bsq,bqw->bsw", gy, cx)             # [B, out, W]
+
     f = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         f = f / 255.0
     # bf16 is ample precision for resampling 8-bit pixels; halves traffic
     f = f.astype(jnp.bfloat16)
-    ry, cx, gy = (m.astype(jnp.bfloat16) for m in (ry, cx, gy))
-    x = jnp.einsum("boh,bhwc->bowc", ry, f)
-    x = jnp.einsum("bqw,bowc->boqc", cx, x)
-    x = jnp.einsum("bpo,boqc->bpqc", gy, x)
-    x = jnp.einsum("bsq,bpqc->bpsc", gy, x)  # same sigma both axes
-    return normalize_image(x.astype(jnp.float32))
+    a_row, a_col = (m.astype(jnp.bfloat16) for m in (a_row, a_col))
+    x = jnp.einsum("bph,bhwc->bpwc", a_row, f)
+    x = jnp.einsum("bsw,bpwc->bpsc", a_col, x)
+    # per-channel normalize affine fuses into the einsum epilogue
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (x.astype(dtype) - mean) / std

@@ -224,7 +224,9 @@ class ResNeXt50(nn.Module):
                     name=f"layer{stage_idx + 1}_{block_idx}")(y, train=train)
                 in_ch = planes * EXPANSION
 
-        y = y.astype(jnp.float32)  # back to f32 at the trunk boundary
-        feature_map = y  # [B, 7, 7, 2048]
-        pooled = jnp.mean(y, axis=(1, 2))  # adaptive avg pool to 1x1
-        return {"pooled": pooled, "feature_map": feature_map}
+        # pool in f32 (49-way mean), but leave the feature map in the
+        # compute dtype — consumers (spatial head, grad-CAM) cast as
+        # needed, and the extra full-tensor f32 materialization is pure
+        # HBM traffic on the hot path
+        pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+        return {"pooled": pooled, "feature_map": y}

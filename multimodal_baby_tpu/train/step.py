@@ -76,11 +76,15 @@ def make_loss_fn(model, cfg: ExperimentConfig,
             image = batch["image"]
         else:
             # raw uint8 from the host loader: augmentation + normalization
-            # run on-device inside this jit (data/augment.py)
+            # run on-device inside this jit (data/augment.py); emit the
+            # trunk's compute dtype directly (bf16 hot path)
             from multimodal_baby_tpu.data.augment import augment_batch
+            aug_dtype = (jnp.bfloat16
+                         if cfg.parallel.compute_dtype == "bfloat16"
+                         else jnp.float32)
             image = augment_batch(
                 rng_aug, batch["image_u8"],
-                augment=augment_frames and train)
+                augment=augment_frames and train, dtype=aug_dtype)
 
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train, use_mm=use_mm, use_lm=use_lm)
