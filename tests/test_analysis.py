@@ -180,3 +180,141 @@ def test_clean_py_summary_contract(tmp_path):
     df2 = write_object_categories_summary(d, tmp_path / "oc.csv")
     assert set(df2["config"]) == {"contrastive"}
     assert "split" in df2.columns
+
+
+def test_alignment_csv_contract(tmp_path):
+    """alignment.py artifact parity: long-form pair CSVs + Pearson
+    alignment statistic."""
+    import pandas as pd
+    from multimodal_baby_tpu.analysis.embeddings import (
+        write_alignment_csvs)
+
+    rng = np.random.RandomState(0)
+    C, E = 5, 16
+    mean_img = rng.randn(C, E)
+    txt = mean_img + 0.1 * rng.randn(C, E)  # correlated structure
+    cats = [f"cat{i}" for i in range(C)]
+    joint_df, cross_df, (r, p) = write_alignment_csvs(
+        mean_img, txt, cats, tmp_path, model="cvc", seed=0)
+
+    f1 = tmp_path / "cvc_joint_embeddings_sims_seed_0.csv"
+    f2 = tmp_path / "cvc_image_text_embeddings_sims_seed_0.csv"
+    assert f1.exists() and f2.exists()
+    back = pd.read_csv(f1)
+    assert list(back.columns) == ["image_sims", "text_sims",
+                                  "eval_category_x", "eval_category_y"]
+    assert len(back) == C * C
+    # diagonal pairs are self-similarity 1
+    diag = back[back.eval_category_x == back.eval_category_y]
+    np.testing.assert_allclose(diag.image_sims, 1.0, atol=1e-9)
+    assert list(pd.read_csv(f2).columns) == [
+        "image_text_sims", "eval_category_x", "eval_category_y"]
+    assert r > 0.5  # structure is correlated by construction
+
+
+def test_joint_embeddings_with_eval_sims_csv(tmp_path):
+    import pandas as pd
+    from multimodal_baby_tpu.analysis.embeddings import (
+        write_joint_embeddings_with_eval_sims)
+
+    rng = np.random.RandomState(1)
+    C, N, E = 3, 12, 8
+    cats = ["ball", "cat", "cup"]
+    img = rng.randn(N, E)
+    mean_img = rng.randn(C, E)
+    txt = rng.randn(C, E)
+    img_cats = [cats[i % C] for i in range(N)]
+    files = [f"f{i}.jpeg" for i in range(N)]
+    out = tmp_path / "cvcl_joint_embeddings_with_eval_sims_seed_0.csv"
+    df = write_joint_embeddings_with_eval_sims(
+        img, mean_img, txt, img_cats, files, cats, out, seed=0)
+    assert out.exists()
+    assert list(df.columns[:5]) == ["x", "y", "eval_category",
+                                    "image_filename", "embedding_type"]
+    assert list(df.columns[5:]) == cats
+    assert (df.embedding_type.value_counts()["image"] == N
+            and df.embedding_type.value_counts()["text"] == C)
+    # per-category sim columns: zeros on mean/text rows, dot products on
+    # image rows
+    assert (df.loc[df.embedding_type != "image", "ball"] == 0).all()
+    np.testing.assert_allclose(
+        df.loc[df.embedding_type == "image", "ball"], img @ txt[0],
+        rtol=1e-6)
+
+
+def test_leak_audit_workflow(tmp_path):
+    """duplicates.py audit parity: matched_results.csv + report with
+    per-category counts and threshold proportions."""
+    import json as _json
+    import pandas as pd
+    from multimodal_baby_tpu.analysis.duplicates import run_leak_audit
+
+    train_md = [
+        {"utterance": "look at the ball",
+         "frame_filenames": ["t0.jpg", "t1.jpg"]},
+        {"utterance": "a cat", "frame_filenames": ["t2.jpg"]},
+    ]
+    eval_md = [
+        {"target_category": "ball", "target_img_filename": "e0.jpg"},
+        {"target_category": "cat", "target_img_filename": "e1.jpg"},
+    ]
+    feats = {"t0.jpg": [1.0, 0.0], "t1.jpg": [0.0, 1.0],
+             "t2.jpg": [1.0, 1.0], "e0.jpg": [1.0, 0.01],
+             "e1.jpg": [-1.0, 0.0]}
+
+    def embed(paths):
+        return np.array([feats[p] for p in paths], np.float64)
+
+    report = run_leak_audit(train_md, eval_md, embed, tmp_path,
+                            load_image=lambda p: np.zeros((4, 4, 3),
+                                                          np.uint8))
+    df = pd.read_csv(tmp_path / "matched_results.csv")
+    assert list(df.columns) == ["eval_filename", "train_filename",
+                                "cosine_sim", "matched", "category"]
+    ball = df[df.category == "ball"].iloc[0]
+    assert ball.train_filename == "t0.jpg"  # nearest by cosine
+    assert ball.cosine_sim > 0.99
+    assert report["per_category"]["ball"]["n_over"]["0.99"] == 1
+    assert report["per_category"]["cat"]["n_over"]["0.9"] == 0
+    assert (tmp_path / "duplicates_report.json").exists()
+    assert (tmp_path / "nn_pairs.png").exists()
+
+
+def test_descriptives_tables(tmp_path):
+    import json as _json
+    import pandas as pd
+    from multimodal_baby_tpu.analysis.descriptives import (
+        category_word_freq_subsets, dataset_descriptives,
+        date_descriptives, load_split_frame)
+
+    data = {
+        "train": [{"utterance": "look at the ball",
+                   "frame_filenames": ["S_20130601_0_0.jpg"] * 3},
+                  {"utterance": "a cat",
+                   "frame_filenames": ["S_20140301_1_0.jpg"]}],
+        "val": [{"utterance": "the ball",
+                 "frame_filenames": ["S_20130801_2_0.jpg"]}],
+        "test": [{"utterance": "a dog dog",
+                  "frame_filenames": ["S_20130901_3_0.jpg"]}],
+    }
+    for split, rows in data.items():
+        (tmp_path / f"{split}.json").write_text(_json.dumps({"data": rows}))
+    df = load_split_frame(tmp_path)
+    table = dataset_descriptives(df, vocab_size=10)
+    train_row = table[table.split == "train"].iloc[0]
+    assert train_row.n_utterances == 2
+    assert train_row.n_tokens == 6
+    assert train_row.n_frames == 4
+    total = table[table.split == "TOTAL"].iloc[0]
+    assert total.n_utterances == 4 and total.n_tokens == 11
+
+    dd = date_descriptives(df)
+    assert dd["first_date"] == "2013-06-01"
+    assert dd["last_date"] == "2014-03-01"
+
+    freq = category_word_freq_subsets(
+        ["look at the ball", "a cat", "the ball"], ["ball", "cat"],
+        subset_proportions=(1.0, 0.5))
+    full_ball = freq[(freq.category == "ball")
+                     & (freq.subset_proportion == "1.0")].word_freq.iloc[0]
+    assert full_ball == 2
