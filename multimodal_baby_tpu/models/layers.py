@@ -128,24 +128,31 @@ def lstm_gates(pre: jax.Array, h_dim: int) -> Tuple[jax.Array, ...]:
             jax.nn.sigmoid(o))
 
 
-def _use_fused_lstm(x_proj_shape, h_dim: int) -> bool:
-    """Dispatch to the Pallas recurrence kernel on TPU when the per-step
-    working set fits VMEM (~16 MB/core).
+# Minimum sequence length at which the Pallas recurrence kernel beats the
+# XLA scan. Measured on v5e (BENCH_NOTES.md scorecard): at CVCL scale
+# (L=25, H=512) the scan is ~45% FASTER — 25 steps are too few to
+# amortize the kernel's per-grid-step overhead — so the kernel is a
+# LONG-SEQUENCE kernel and dispatch is length-based, not env-gated.
+FUSED_LSTM_MIN_LEN = 64
 
-    Off by default (MMB_FUSED_LSTM=1 enables): measured on v5e the XLA
-    scan is currently faster at CVCL scale (L=25, H=512) — the kernel
-    refetches W_hh per grid step while XLA keeps the loop body fused. The
-    kernel stays available for long-sequence / large-H regimes."""
+
+def _use_fused_lstm(x_proj_shape, h_dim: int) -> bool:
+    """Dispatch to the Pallas recurrence kernel on TPU for long sequences
+    whose per-step working set fits VMEM (~16 MB/core). MMB_FUSED_LSTM=1/0
+    force-overrides for benchmarking."""
     import os
-    if os.environ.get("MMB_FUSED_LSTM", "0") != "1":
-        return False
+    force = os.environ.get("MMB_FUSED_LSTM")
+    if force is not None:
+        if force != "1":
+            return False
     try:
         if jax.devices()[0].platform != "tpu":
             return False
     except RuntimeError:
         return False
-    B = x_proj_shape[0]
-    h4 = x_proj_shape[-1]
+    B, L, h4 = x_proj_shape
+    if force is None and L < FUSED_LSTM_MIN_LEN:
+        return False
     # x block + out block + 2 carries + W_hh, all f32
     working = (B * h4 + B * h_dim * 3 + h_dim * h4) * 4
     return working < 12 * 1024 * 1024 and B % 8 == 0 and h_dim % 128 == 0

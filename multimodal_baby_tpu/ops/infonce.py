@@ -33,7 +33,7 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(img_ref, txt_ref, scale_ref, loss_ref, lse_i_ref,
-                lse_t_ref):
+                lse_t_ref, metrics_ref):
     scale = scale_ref[0, 0]
     logits = jax.lax.dot_general(
         img_ref[:], txt_ref[:],
@@ -51,12 +51,29 @@ def _fwd_kernel(img_ref, txt_ref, scale_ref, loss_ref, lse_i_ref,
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-    diag_sum = jnp.sum(jnp.where(row_ids == col_ids, logits, 0.0))
+    eye = row_ids == col_ids
+    diag_sum = jnp.sum(jnp.where(eye, logits, 0.0))
 
     loss_ref[0, 0] = ((jnp.sum(lse_i) + jnp.sum(lse_t)) / 2.0
                       - diag_sum) / B
     lse_i_ref[:] = lse_i
     lse_t_ref[:] = lse_t.T
+
+    # the reference's diagnostics (multimodal.py:796-822), computed from
+    # the resident tile — no extra HBM pass:
+    #   accuracy: argmax == diagonal; entropy: softmax entropy per row/col
+    acc_i = jnp.sum(jnp.where(
+        eye, (logits >= m_i).astype(jnp.float32), 0.0))
+    acc_t = jnp.sum(jnp.where(
+        eye, (logits >= m_t).astype(jnp.float32), 0.0))
+    p_row = jnp.exp(logits - lse_i)
+    p_col = jnp.exp(logits - lse_t)
+    ent_i = jnp.sum(p_row * (lse_i - logits))
+    ent_t = jnp.sum(p_col * (lse_t - logits))
+    metrics_ref[0, 0] = acc_i / B
+    metrics_ref[0, 1] = acc_t / B
+    metrics_ref[0, 2] = ent_i / B
+    metrics_ref[0, 3] = ent_t / B
 
 
 def _bwd_kernel(img_ref, txt_ref, scale_ref, lse_i_ref, lse_t_ref, g_ref,
@@ -91,12 +108,13 @@ def _bwd_kernel(img_ref, txt_ref, scale_ref, lse_i_ref, lse_t_ref, g_ref,
 def _fused_forward(img, txt, neg_log_temp):
     B, E = img.shape
     scale = jnp.exp(neg_log_temp).reshape(1, 1).astype(jnp.float32)
-    loss, lse_i, lse_t = pl.pallas_call(
+    loss, lse_i, lse_t, metrics = pl.pallas_call(
         _fwd_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -107,34 +125,51 @@ def _fused_forward(img, txt, neg_log_temp):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * B * E, transcendentals=2 * B * B,
             bytes_accessed=2 * B * E * 4 + B * B * 4),
         interpret=_interpret(),
     )(img, txt, scale)
-    return loss[0, 0], (lse_i, lse_t)
+    return loss[0, 0], (lse_i, lse_t, metrics)
+
+
+def _metrics_dict(metrics: jax.Array):
+    m = jax.lax.stop_gradient(metrics)
+    return {"image_accuracy": m[0, 0], "text_accuracy": m[0, 1],
+            "image_entropy": m[0, 2], "text_entropy": m[0, 3]}
 
 
 @jax.custom_vjp
-def fused_infonce(img: jax.Array, txt: jax.Array,
-                  neg_log_temp: jax.Array) -> jax.Array:
-    """Symmetric InfoNCE over the in-batch similarity matrix.
+def fused_infonce_with_metrics(img: jax.Array, txt: jax.Array,
+                               neg_log_temp: jax.Array):
+    """Symmetric InfoNCE over the in-batch similarity matrix, plus the
+    reference diagnostics (accuracy/entropy) computed inside the same
+    kernel pass. Returns (loss, metrics dict).
 
     img, txt: [B, E]; neg_log_temp: scalar (-log temperature).
-    Equals models.losses.contrastive_loss_from_logits(...)[0] on
+    Equals models.losses.contrastive_loss_from_logits(...) on
     logits = exp(neg_log_temp) * img @ txt.T.
     """
-    loss, _ = _fused_forward(img, txt, neg_log_temp)
-    return loss
+    loss, (_, _, metrics) = _fused_forward(img, txt, neg_log_temp)
+    return loss, _metrics_dict(metrics)
+
+
+def fused_infonce(img: jax.Array, txt: jax.Array,
+                  neg_log_temp: jax.Array) -> jax.Array:
+    """Loss-only variant."""
+    return fused_infonce_with_metrics(img, txt, neg_log_temp)[0]
 
 
 def _vjp_fwd(img, txt, neg_log_temp):
-    loss, (lse_i, lse_t) = _fused_forward(img, txt, neg_log_temp)
-    return loss, (img, txt, neg_log_temp, lse_i, lse_t)
+    loss, (lse_i, lse_t, metrics) = _fused_forward(img, txt, neg_log_temp)
+    return (loss, _metrics_dict(metrics)), (img, txt, neg_log_temp,
+                                            lse_i, lse_t)
 
 
-def _vjp_bwd(residuals, g):
+def _vjp_bwd(residuals, cotangents):
+    g, _ = cotangents  # metrics are diagnostics: their cotangent is dead
     img, txt, neg_log_temp, lse_i, lse_t = residuals
     B, E = img.shape
     scale = jnp.exp(neg_log_temp).reshape(1, 1).astype(jnp.float32)
@@ -167,7 +202,7 @@ def _vjp_bwd(residuals, g):
     return dimg, dtxt, jnp.reshape(dnlt[0, 0], jnp.shape(neg_log_temp))
 
 
-fused_infonce.defvjp(_vjp_fwd, _vjp_bwd)
+fused_infonce_with_metrics.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def infonce_loss(img: jax.Array, txt: jax.Array, neg_log_temp: jax.Array

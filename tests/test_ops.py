@@ -165,3 +165,41 @@ def test_fused_bottleneck_backward_falls_back():
     g2 = jax.grad(lambda x_: bottleneck_reference(x_, fw, stride=1).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_infonce_metrics_match_reference():
+    """The kernel's in-tile diagnostics equal the XLA metrics
+    (contrastive_loss_from_logits) including nontrivial accuracies."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_baby_tpu.models.losses import (
+        contrastive_loss_from_logits)
+    from multimodal_baby_tpu.ops.infonce import fused_infonce_with_metrics
+
+    rng = np.random.RandomState(0)
+    B, E = 16, 8
+    base = rng.randn(B, E).astype(np.float32)
+    img = jnp.asarray(base + 0.05 * rng.randn(B, E).astype(np.float32))
+    txt = jnp.asarray(base)  # aligned pairs -> high accuracy
+    nlt = jnp.asarray(1.5)
+    loss, m = fused_infonce_with_metrics(img, txt, nlt)
+    logits = jnp.exp(nlt) * (img @ txt.T)
+    ref_loss, ref_m = contrastive_loss_from_logits(logits, logits.T)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    assert float(ref_m["image_accuracy"]) > 0.8  # the case is nontrivial
+    for k in ref_m:
+        np.testing.assert_allclose(float(m[k]), float(ref_m[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    # metrics don't break the gradient path
+    g = jax.grad(lambda i: fused_infonce_with_metrics(i, txt, nlt)[0])(img)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_lstm_kernel_long_sequence_dispatch():
+    """The recurrence kernel dispatches by sequence length (long-sequence
+    kernel; the XLA scan wins at CVCL's L=25 — BENCH_NOTES scorecard)."""
+    from multimodal_baby_tpu.models.layers import (
+        FUSED_LSTM_MIN_LEN, _use_fused_lstm)
+    # CPU backend -> always False, but the length gate is checked first
+    assert not _use_fused_lstm((256, 25, 2048), 512)
+    assert FUSED_LSTM_MIN_LEN > 25  # CVCL shapes stay on the scan
