@@ -318,3 +318,43 @@ def test_descriptives_tables(tmp_path):
     full_ball = freq[(freq.category == "ball")
                      & (freq.subset_proportion == "1.0")].word_freq.iloc[0]
     assert full_ball == 2
+
+
+def test_token_items_table():
+    """token_items_data.py contract: per-type counts, per-model loss/prob/
+    ppl columns, diffs vs baseline, POS + syntactic category + word
+    category columns, embedding coordinates."""
+    from multimodal_baby_tpu.analysis.token_items import build_token_items
+
+    rng = np.random.RandomState(0)
+
+    def run(losses):
+        tokens, ls, hid = [], [], []
+        for w, word_losses in losses.items():
+            for value in word_losses:
+                tokens.append(w)
+                ls.append(value)
+                hid.append(rng.randn(8))
+        return {"token": np.asarray(tokens),
+                "ce_loss": np.asarray(ls, np.float64),
+                "position": np.zeros(len(ls)),
+                "hidden": np.asarray(hid)}
+
+    runs = {
+        "lstm": run({"ball": [1.0, 3.0], "the": [0.5], "kitty": [2.0],
+                     "running": [4.0]}),
+        "ngram": run({"ball": [2.0, 2.0], "the": [1.5], "kitty": [1.0],
+                      "running": [4.0]}),
+    }
+    items = build_token_items(runs, embed_methods=("pca",))
+    items = items.set_index("token")
+    assert items.loc["ball", "cnt"] == 2
+    assert abs(items.loc["ball", "lstm loss"] - 2.0) < 1e-9
+    assert abs(items.loc["ball", "ngram loss - lstm loss"] - 0.0) < 1e-9
+    assert abs(items.loc["kitty", "ngram loss - lstm loss"] + 1.0) < 1e-9
+    assert abs(items.loc["the", "lstm prob"] - np.exp(-0.5)) < 1e-9
+    assert items.loc["kitty", "word category"] == "animals"
+    assert items.loc["the", "syntactic category"] == "function word"
+    assert items.loc["running", "pos"] == "VERB"
+    assert "lstm pca 0" in items.columns and "lstm pca 1" in items.columns
+    assert np.isfinite(items["lstm pca 0"]).all()
