@@ -104,3 +104,37 @@ def test_animate_utterance(tmp_path):
     out = animate_utterance(entry, tmp_path / "anim.gif",
                             frames_dir=tmp_path)
     assert out is not None and out.exists()
+
+
+def test_analyze_cli_summaries_and_descriptives(tmp_path):
+    """cli.analyze end-to-end on fixtures (the runnable counterpart of
+    the reference's analysis_cvcl scripts)."""
+    import json
+
+    from multimodal_baby_tpu.cli.analyze import main
+
+    # summaries on a minimal predictions tree
+    rows = [{"checkpoint": "c", "model": "embedding", "seed": 0,
+             "shuffle_utterances": False, "augment_frames": True,
+             "multiple_frames": True, "cnn": "frozen_pretrained",
+             "eval_type": "image", "eval_dataset": "saycam",
+             "stage": "test", "trial_idx": 0,
+             "categories": ["ball", "dog", "cat", "cup"],
+             "logits": [0.7, 0.1, 0.1, 0.1], "pred": 0, "correct": True}]
+    p = (tmp_path / "saycam" /
+         "embedding_frozen_pretrained_seed_0_image_saycam_test_eval_"
+         "predictions.json")
+    p.parent.mkdir(parents=True)
+    p.write_text(json.dumps({"data": rows}))
+    main(["summaries", "--results_dir", str(tmp_path)])
+    assert (tmp_path / "summary/saycam-bounds-summary.csv").exists()
+
+    # descriptives
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "train.json").write_text(json.dumps({"data": [
+        {"utterance": "a ball", "frame_filenames": ["S_20130601_0.jpg"]}]}))
+    out_csv = tmp_path / "descriptives.csv"
+    main(["descriptives", "--data_dir", str(data_dir),
+          "--out_csv", str(out_csv)])
+    assert out_csv.exists()
