@@ -130,47 +130,36 @@ def _block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     nb = w2_ref.shape[1]
     cout = w3_ref.shape[1]
     M = ipp * H * W
-    Wp = W + 2           # padded row length (1 col pad each side)
-    span = H * Wp        # conv2 output span: rows 1..H, all padded cols
 
     x = x_ref[:].reshape(M, cin)
 
-    # conv1 (1x1) + bn1 + relu -> padded VMEM scratch. The scratch is a
-    # flat padded grid of (H+4) rows x Wp cols per image (2 lead rows so
-    # every tap's flat offset stays in-bounds); center = rows 2..H+2,
-    # cols 1..W+1. This is the ONE strided relayout in the block.
+    # conv1 (1x1) + bn1 + relu -> padded VMEM scratch
     h1 = jnp.maximum(
         jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
         + b1_ref[:], 0.0).astype(x_ref.dtype)
     pad_scr[:] = jnp.zeros(pad_scr.shape, pad_scr.dtype)
-    pad_scr[:, 2:H + 2, 1:W + 1, :] = h1.reshape(ipp, H, W, width)
+    pad_scr[:, 1:H + 1, 1:W + 1, :] = h1.reshape(ipp, H, W, width)
 
-    # conv2 (3x3 grouped, groups packed into BS-wide diagonal blocks).
-    # In the flat padded layout every tap is a CONTIGUOUS row-span slice
-    # (offset (dy-1)*Wp + (dx-1) from the output span), so building the
-    # [span, 9*BS] concat costs plain copies, and each channel block is
-    # one big-K [span, 9*BS] x [9*BS, BS] MXU matmul. The span includes
-    # the col-pad positions (garbage there; sliced away after conv3).
-    flat = pad_scr[:].reshape(ipp, (H + 4) * Wp, width)
-    q0 = 2 * Wp          # flat index of output row 2 (first center row)
+    # conv2 (3x3 grouped, groups packed into BS-wide diagonal blocks),
+    # computed at full resolution (stride applied by subsampling below).
+    # The 9 taps are concatenated along K so each channel block is ONE
+    # [M, 9*BS] x [9*BS, BS] matmul — big-K keeps the MXU pipeline full
+    # (9 separate K=BS dots measured ~2.5x slower; a flat-layout variant
+    # with contiguous tap slices measured 2.3x slower still: Mosaic
+    # relayouts arbitrary-offset slices of the large flat buffer).
     h2_blocks = []
     for b in range(nb):
         for t in range(9):
             dy, dx = t // 3, t % 3
-            start = q0 + (dy - 1) * Wp + (dx - 1)
-            cat_scr[:, t * BS:(t + 1) * BS] = jax.lax.slice(
-                flat, (0, start, b * BS),
-                (ipp, start + span, (b + 1) * BS)).reshape(
-                    ipp * span, BS)
+            cat_scr[:, t * BS:(t + 1) * BS] = pad_scr[
+                :, dy:dy + H, dx:dx + W,
+                b * BS:(b + 1) * BS].reshape(M, BS)
         w_b = w2_ref[:, b].reshape(9 * BS, BS)
         h2_blocks.append(jnp.dot(
             cat_scr[:], w_b, preferred_element_type=jnp.float32))
     h2 = jnp.concatenate(h2_blocks, axis=-1) if nb > 1 else h2_blocks[0]
     h2 = jnp.maximum(h2 + b2_ref[:], 0.0).astype(x_ref.dtype)
-
-    # drop the col-pad garbage: [ipp, H, Wp, width] -> center cols
-    h2 = jax.lax.slice(h2.reshape(ipp, H, Wp, width),
-                       (0, 0, 1, 0), (ipp, H, W + 1, width))
+    h2 = h2.reshape(ipp, H, W, width)
 
     if stride == 2:
         # ::2 subsampling expressed as reshape + unit slice (Mosaic lowers
@@ -211,9 +200,9 @@ def _images_per_program(H: int, W: int, cin: int, width: int, cout: int,
     scratch and h2/identity temps dominate the per-image set."""
     per_img = (2 * H * W * cin * 2      # x block (bf16, double-buffered)
                + 2 * H * W * cout * 2   # out block (double-buffered)
-               + (H + 4) * (W + 2) * width * 2   # padded h1 scratch
-               + H * (W + 2) * 9 * BS * 2        # tap-concat scratch
-               + H * (W + 2) * width * 4         # h2 f32 temp
+               + (H + 2) * (W + 2) * width * 2   # padded h1 scratch
+               + H * W * 9 * BS * 2              # tap-concat scratch
+               + H * W * width * 4               # h2 f32 temp
                + H * W * cout * 4)      # conv3/identity f32 temps
     weights = (cin * width + width * cout + cin * cout) * 2 \
         + 9 * nb * BS * BS * 2
@@ -277,8 +266,8 @@ def fused_bottleneck_forward(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((ipp, H + 4, W + 2, width), x.dtype),
-            pltpu.VMEM((ipp * H * (W + 2), 9 * BS), x.dtype),
+            pltpu.VMEM((ipp, H + 2, W + 2, width), x.dtype),
+            pltpu.VMEM((ipp * H * W, 9 * BS), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
