@@ -63,6 +63,60 @@ def grad_cam(
     return np.asarray(cam)
 
 
+def grad_cam_captioning(
+    model,
+    variables,
+    image: jax.Array,        # [H, W, 3] normalized float (one image)
+    text: jax.Array,         # [L] token ids
+    text_len: int,
+    out_size: Optional[int] = None,
+    steps=None,
+) -> np.ndarray:
+    """Per-token-step grad-CAM for a captioning LM
+    (analysis_tools/multimodal_visualization.py:10-62): for each step t,
+    the CAM of the token-t cross-entropy w.r.t. the conv feature map.
+    Returns [n_steps, out, out] (step 0 has no preceding prediction ->
+    zero map, like the reference's None)."""
+    from multimodal_baby_tpu.models.losses import lm_cross_entropy
+
+    out_size = out_size or image.shape[0]
+    steps = list(range(int(text_len))) if steps is None else list(steps)
+    imgs = image[None]
+    text_b = jnp.asarray(text)[None]
+    len_b = jnp.asarray([text_len], jnp.int32)
+
+    _, feature_map = model.apply(variables, imgs, method="encode_image")
+
+    def step_loss(fm, step):
+        def fwd(m, fm, step):
+            pooled = fm.mean(axis=(1, 2))
+            feats = m.vision_encoder.head(pooled)
+            if m.cfg.normalize_features:
+                feats = l2_normalize(feats, axis=1)
+            _, logits, _ = m.lm_forward(text_b, len_b,
+                                        image_features=feats)
+            labels, logits = m.lm_labels_and_logits(text_b, logits)
+            ce, _ = lm_cross_entropy(logits, labels)
+            return ce[0, step]
+
+        return model.apply(variables, fm, step, method=fwd)
+
+    maps = []
+    h, w = feature_map.shape[1:3]
+    for step in steps:
+        if step == 0:
+            maps.append(np.zeros((out_size, out_size), np.float32))
+            continue
+        g = jax.grad(lambda fm: step_loss(fm, step - 1))(feature_map)
+        alpha = (-g).mean(axis=(1, 2), keepdims=True)  # -grad: reference
+        cam = jax.nn.relu((alpha * feature_map).sum(-1))[0]
+        cam = jax.image.resize(cam, (out_size, out_size), method="bicubic")
+        cam = jnp.maximum(cam, 0.0)
+        m = float(cam.max())
+        maps.append(np.asarray(cam / m if m > 0 else cam))
+    return np.stack(maps)
+
+
 def get_attention_overlay(image_01: np.ndarray, attn_map: np.ndarray,
                           blur_sigma: float = 0.02) -> np.ndarray:
     """Blend a [H, W, 3] image in [0,1] with a [H, W] attention map —

@@ -71,3 +71,31 @@ def dendrogram(features: np.ndarray, labels: Sequence[str],
     scipy_dendrogram(link, labels=list(labels), ax=ax, leaf_font_size=7)
     ax.set_title(title)
     return _save(fig, save_path)
+
+
+# ---------------------------------------------------------------------------
+# frame-visualization helpers (analysis_tools/frame_visualization.py)
+# ---------------------------------------------------------------------------
+
+def frame_subplots(nrows=1, ncols=1, fig_width=8.0,
+                   wspace=0.025, hspace=0.25, aspect=1.0, **kwargs):
+    """Subplot grid sized so every frame keeps its aspect ratio
+    (frame_visualization.py:6-25). Returns (fig, axes, frame_width)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    frame_width = fig_width / (ncols + (ncols - 1) * wspace)
+    frame_height = frame_width / aspect
+    fig_height = frame_height * (nrows + (nrows - 1) * hspace)
+    fig, ax = plt.subplots(
+        nrows, ncols, figsize=(fig_width, fig_height), squeeze=False,
+        gridspec_kw={"wspace": wspace, "hspace": hspace}, **kwargs)
+    return fig, ax, frame_width
+
+
+def untokenize(utterance: str) -> str:
+    """Space-tokenized utterance -> display string: glue punctuation and
+    clitics back (frame_visualization.py:28-29)."""
+    import re
+    return re.sub(r" (?=([\.\?\!,']|((n('|)t|na)\b)))", r"", utterance)

@@ -9,7 +9,7 @@ passes instead of per-example loops.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -99,3 +99,21 @@ def mean_hidden_per_word(token_data: Dict[str, np.ndarray],
             "mean_hidden": (sums[keep] / counts[keep, None]).astype(
                 np.float32),
             "counts": counts[keep]}
+
+
+def build_data(overrides: Optional[dict] = None, deterministic: bool = True):
+    """Deterministic DataModule builder for analyses
+    (analysis_tools/build_data.py): augmentation and random frame
+    sampling off, sos/eos included in eval labels, so repeated passes see
+    identical batches. ``overrides`` patch DataConfig fields."""
+    from multimodal_baby_tpu.core.config import DataConfig
+    from multimodal_baby_tpu.data.modules import DataModule
+
+    cfg = DataConfig()
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
+    if deterministic:
+        cfg.augment_frames = False
+        cfg.multiple_frames = False
+        cfg.eval_include_sos_eos = True
+    return DataModule(cfg).setup()

@@ -358,3 +358,32 @@ def test_token_items_table():
     assert items.loc["running", "pos"] == "VERB"
     assert "lstm pca 0" in items.columns and "lstm pca 1" in items.columns
     assert np.isfinite(items["lstm pca 0"]).all()
+
+
+def test_grad_cam_captioning_per_step():
+    """Per-token-step grad-CAM (multimodal_visualization.py contract):
+    one map per step, step 0 empty, maps normalized to [0, 1]."""
+    from multimodal_baby_tpu.analysis.attention_maps import (
+        grad_cam_captioning)
+    from multimodal_baby_tpu.core.config import (
+        ModelConfig, TextConfig, VisionConfig)
+    from multimodal_baby_tpu.models import CVCL
+
+    cfg = ModelConfig(
+        embedding_dim=16, vocab_size=32,
+        vision=VisionConfig(cnn_model="toy"),
+        text=TextConfig(text_encoder="lstm", captioning=True))
+    model = CVCL(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    text = np.zeros((10,), np.int32)
+    text[:5] = [2, 5, 6, 7, 3]
+    variables = model.init(jax.random.PRNGKey(0), img[None],
+                           jnp.asarray(text)[None],
+                           jnp.asarray([5], jnp.int32))
+    maps = grad_cam_captioning(model, variables, img, text, 5,
+                               out_size=32)
+    assert maps.shape == (5, 32, 32)
+    assert np.allclose(maps[0], 0.0)
+    assert np.isfinite(maps).all()
+    assert maps.max() <= 1.0 + 1e-6 and maps.min() >= 0.0

@@ -135,3 +135,22 @@ def test_ratings_csv_join(tmp_path):
     joined = join_ratings(df, ratings)
     assert float(joined.loc[joined.token == "kitty", "aoa"].iloc[0]) == 20.1
     assert joined.loc[joined.token == "zzz", "concreteness"].isna().all()
+
+
+def test_untokenize_and_frame_subplots(tmp_path):
+    from multimodal_baby_tpu.analysis.plotting import (
+        frame_subplots, untokenize)
+    assert untokenize("do n't do that !") == "don't do that!"
+    assert untokenize("that 's the ball .") == "that's the ball."
+    fig, ax, w = frame_subplots(2, 3)
+    assert ax.shape == (2, 3) and w > 0
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_build_data_deterministic():
+    from multimodal_baby_tpu.analysis.processing import build_data
+    data = build_data({"dataset": "synthetic", "synthetic_size": 32})
+    assert not data.cfg.augment_frames
+    assert data.cfg.eval_include_sos_eos
+    assert len(data.datasets["train"]) > 0
