@@ -91,7 +91,11 @@ class BottleneckX(nn.Module):
     base_width: int = 4
     has_downsample: bool = False
     dtype: Any = None  # compute dtype (bf16 on the train hot path)
-    dense_groups: bool = False
+    # group packing for conv2: False/32 = true grouped conv; True/1 =
+    # full block-diagonal dense; an int g in between packs 32/g groups
+    # per super-group (feature_group_count=g, FLOPs x(32/g), fewer
+    # grouped-conv layout transitions)
+    dense_groups: Any = False
     fused_epilogue: bool = False  # Pallas conv3+bn3+residual+relu kernel
 
     @nn.compact
@@ -101,12 +105,13 @@ class BottleneckX(nn.Module):
         ura = not train
         dt = self.dtype
 
+        fgc = self._packed_fgc()
         identity = x
         y = nn.Conv(width, (1, 1), use_bias=False, name="conv1", dtype=dt)(x)
         y = _bn("bn1", ura, dt, width)(y)
         y = nn.relu(y)
-        if self.dense_groups:
-            y = self._dense_grouped_conv3x3(y, width, dt)
+        if fgc != self.groups:
+            y = self._dense_grouped_conv3x3(y, width, dt, fgc)
         else:
             y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
                         padding=1, feature_group_count=self.groups,
@@ -143,22 +148,36 @@ class BottleneckX(nn.Module):
         y = _bn("bn3", ura, dt, out_ch)(y)
         return nn.relu(y + identity)
 
-    def _dense_grouped_conv3x3(self, y, width, dt):
+    def _packed_fgc(self) -> int:
+        dg = self.dense_groups
+        if dg is True:
+            return 1
+        if dg is False or dg is None:
+            return self.groups
+        return int(dg)
+
+    def _dense_grouped_conv3x3(self, y, width, dt, fgc: int = 1):
         cg = width // self.groups
         # parameter lives under the same "conv2/kernel" path and grouped
         # shape as the nn.Conv variant, so checkpoints interchange
         w = _GroupedKernel((3, 3, cg, width), name="conv2")()
         if dt is not None:
             w = w.astype(dt)
-        w_tiled = jnp.tile(w, (1, 1, self.groups, 1))
+        # expand [3,3,cg,width] to a block-diagonal masked kernel for
+        # feature_group_count=fgc: each super-group spans 32/fgc groups
+        sg = width // fgc  # input channels per super-group
+        w_tiled = jnp.tile(w, (1, 1, sg // cg, 1))      # [3,3,sg,width]
         ids = jnp.arange(width) // cg
-        mask = (ids[:, None] == ids[None, :]).astype(w_tiled.dtype)
+        row = jnp.arange(sg)
+        col = jnp.arange(width)
+        in_ch = (col[None, :] // sg) * sg + row[:, None]
+        mask = (ids[in_ch] == ids[col][None, :]).astype(w_tiled.dtype)
         wd = w_tiled * mask
         dn = jax.lax.conv_dimension_numbers(
             y.shape, wd.shape, ("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(
             y, wd, (self.stride, self.stride), ((1, 1), (1, 1)),
-            dimension_numbers=dn)
+            dimension_numbers=dn, feature_group_count=fgc)
 
 
 class _GroupedKernel(nn.Module):
@@ -189,10 +208,12 @@ class ResNeXt50(nn.Module):
     # "layer1 only" (round-1 behavior); a 4-tuple picks per stage.
     dense_groups: Any = False
 
-    def _dense_stage(self, stage_idx: int) -> bool:
+    def _dense_stage(self, stage_idx: int):
+        """Per-stage dense_groups value passed to BottleneckX: bool or a
+        packing factor int (see BottleneckX.dense_groups)."""
         if isinstance(self.dense_groups, (tuple, list)):
-            return bool(self.dense_groups[stage_idx])
-        return bool(self.dense_groups) and stage_idx == 0
+            return self.dense_groups[stage_idx]
+        return self.dense_groups if stage_idx == 0 else False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
