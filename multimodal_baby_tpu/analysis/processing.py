@@ -101,6 +101,29 @@ def mean_hidden_per_word(token_data: Dict[str, np.ndarray],
             "counts": counts[keep]}
 
 
+def sentence_batches(utterances, vocab, batch_size: int = 64,
+                     max_len: int = 25):
+    """Sentence-only batches for LM analyses
+    (analysis_tools/sentences_data.py): <sos> tokens <eos>, padded to
+    ``max_len``; yields {"text": [B, L] int32, "text_len": [B]} dicts
+    consumable by collect_token_data."""
+    from multimodal_baby_tpu.core.constants import (
+        EOS_TOKEN_ID, PAD_TOKEN_ID, SOS_TOKEN_ID)
+
+    utterances = list(utterances)
+    for s in range(0, len(utterances), batch_size):
+        chunk = utterances[s:s + batch_size]
+        ids = np.full((len(chunk), max_len), PAD_TOKEN_ID, np.int32)
+        lens = np.zeros((len(chunk),), np.int32)
+        for i, utt in enumerate(chunk):
+            toks = [SOS_TOKEN_ID] + [
+                vocab.get(w) for w in utt.split()] + [EOS_TOKEN_ID]
+            toks = toks[:max_len]
+            ids[i, :len(toks)] = toks
+            lens[i] = len(toks)
+        yield {"text": ids, "text_len": lens}
+
+
 def build_data(overrides: Optional[dict] = None, deterministic: bool = True):
     """Deterministic DataModule builder for analyses
     (analysis_tools/build_data.py): augmentation and random frame

@@ -206,6 +206,35 @@ def write_object_categories_summary(results_dir, out_csv=None,
     return write_summary_csv(groups, out_csv, index=True)
 
 
+def write_transformer_summary(results_dir, out_csv=None,
+                              seeds: Sequence[int] = (0, 1, 2)
+                              ) -> "pandas.DataFrame":
+    """saycam-transformer-summary.csv (clean_transformer.py): the
+    CVCL-transformer variant's row-level summary, plus its
+    object-categories counterpart when present."""
+    d = Path(results_dir)
+    groups = _existing([
+        {"paths": _seeded(str(
+            d / "saycam/transformer_frozen_pretrained_seed_{seed}_image_saycam_test_eval_predictions.json"),
+            seeds),
+         "config": "contrastive_transformer_embedding", "filtered": False},
+    ])
+    out_csv = out_csv or d / "summary/saycam-transformer-summary.csv"
+    df = write_summary_csv(groups, out_csv, index=True)
+
+    oc_groups = _existing([
+        {"paths": _seeded(str(
+            d / "object_categories/transformer_frozen_pretrained_seed_{seed}_image_object_categories_test_eval_predictions.json"),
+            seeds),
+         "config": "contrastive_transformer_embedding", "split": None},
+    ])
+    if oc_groups:
+        write_summary_csv(
+            oc_groups, d / "summary/object-categories-transformer.csv",
+            index=True)
+    return df
+
+
 def _existing(groups: Sequence[dict]) -> List[dict]:
     """Keep the groups whose prediction files exist (the reference script
     hard-fails on missing files; we degrade to the available subset so the

@@ -387,3 +387,30 @@ def test_grad_cam_captioning_per_step():
     assert np.allclose(maps[0], 0.0)
     assert np.isfinite(maps).all()
     assert maps.max() <= 1.0 + 1e-6 and maps.min() >= 0.0
+
+
+def test_sentence_batches_and_transformer_summary(tmp_path):
+    import json as _json
+    from multimodal_baby_tpu.analysis.processing import sentence_batches
+    from multimodal_baby_tpu.analysis.summaries import (
+        write_transformer_summary)
+    from multimodal_baby_tpu.data.vocab import Vocab
+
+    vocab = Vocab.build(["the ball", "a cat"] * 3, min_freq=1)
+    batches = list(sentence_batches(
+        ["the ball", "a zzz cat"], vocab, batch_size=8))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["text"].shape == (2, 25)
+    assert b["text"][0, 0] == 2           # <sos>
+    assert b["text"][0, 3] == 3           # <eos>
+    assert b["text_len"][0] == 4
+    assert b["text"][1, 2] == 1           # zzz -> <unk>
+
+    _write_pred(tmp_path / "saycam" /
+                "transformer_frozen_pretrained_seed_0_image_saycam_test_"
+                "eval_predictions.json")
+    df = write_transformer_summary(tmp_path)
+    assert (tmp_path / "summary/saycam-transformer-summary.csv").exists()
+    assert set(df["config"]) == {"contrastive_transformer_embedding"}
+    assert (df["filtered"] == False).all()  # noqa: E712
