@@ -27,10 +27,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from flax import traverse_util
 
 from multimodal_baby_tpu.core.config import (
     ExperimentConfig, ModelConfig, ParallelConfig, TextConfig, TrainConfig,
     VisionConfig)
+from multimodal_baby_tpu.train.optimizer import frozen_mask
 from multimodal_baby_tpu.core.constants import MAX_LEN_UTTERANCE
 from multimodal_baby_tpu.data.augment import augment_batch
 from multimodal_baby_tpu.models import CVCL
@@ -84,15 +86,27 @@ def main():
         jax.random.PRNGKey(0), init_img, batch["text"], batch["text_len"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    optimizer = build_optimizer(cfg, params)
-    opt_state = optimizer.init(params)
 
-    def one_step(carry, key):
-        params, batch_stats, opt_state = carry
+    # the backbone is frozen: carry only trainable params through the
+    # scan so the frozen subtree (and its fused-trunk weight folding) is
+    # loop-invariant and hoisted out of the step loop — mirroring the
+    # reference where frozen params simply have requires_grad=False
+    flat_p = traverse_util.flatten_dict(params)
+    flat_m = traverse_util.flatten_dict(frozen_mask(params, False))
+    frozen_flat = {k: v for k, v in flat_p.items() if not flat_m[k]}
+    train_params = traverse_util.unflatten_dict(
+        {k: v for k, v in flat_p.items() if flat_m[k]})
+    optimizer = build_optimizer(cfg, train_params)
+    opt_state = optimizer.init(train_params)
+
+    def one_step(frozen_flat, carry, key):
+        tp, batch_stats, opt_state = carry
         imgs = augment_batch(key, batch["image_u8"], augment=True,
                              dtype=jnp.bfloat16)
 
-        def loss_fn(p):
+        def loss_fn(tp):
+            p = traverse_util.unflatten_dict(
+                {**frozen_flat, **traverse_util.flatten_dict(tp)})
             (lpi, lpt), upd = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 imgs, batch["text"], batch["text_len"], train=True,
@@ -101,30 +115,31 @@ def main():
             return loss, upd["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return (new_params, new_bs, new_opt), loss
+            loss_fn, has_aux=True)(tp)
+        updates, new_opt = optimizer.update(grads, opt_state, tp)
+        new_tp = optax.apply_updates(tp, updates)
+        return (new_tp, new_bs, new_opt), loss
 
     @jax.jit
-    def run_k_steps(params, batch_stats, opt_state, key):
+    def run_k_steps(tp, frozen_flat, batch_stats, opt_state, key):
         keys = jax.random.split(key, STEPS_PER_CALL)
-        (params, batch_stats, opt_state), losses = jax.lax.scan(
-            one_step, (params, batch_stats, opt_state), keys)
-        return params, batch_stats, opt_state, losses[-1]
+        (tp, batch_stats, opt_state), losses = jax.lax.scan(
+            lambda c, k: one_step(frozen_flat, c, k),
+            (tp, batch_stats, opt_state), keys)
+        return tp, batch_stats, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(42)
     for i in range(WARMUP_CALLS):
         key, k = jax.random.split(key)
-        params, batch_stats, opt_state, loss = run_k_steps(
-            params, batch_stats, opt_state, k)
+        train_params, batch_stats, opt_state, loss = run_k_steps(
+            train_params, frozen_flat, batch_stats, opt_state, k)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for i in range(TIMED_CALLS):
         key, k = jax.random.split(key)
-        params, batch_stats, opt_state, loss = run_k_steps(
-            params, batch_stats, opt_state, k)
+        train_params, batch_stats, opt_state, loss = run_k_steps(
+            train_params, frozen_flat, batch_stats, opt_state, k)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

@@ -17,6 +17,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -99,7 +100,10 @@ class BottleneckX(nn.Module):
     fused_epilogue: bool = False  # Pallas conv3+bn3+residual+relu kernel
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 fold_in_channels: int | None = None) -> Any:
+        if fold_in_channels is not None:
+            return self._fold(fold_in_channels)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
         ura = not train
@@ -147,6 +151,42 @@ class BottleneckX(nn.Module):
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=dt)(y)
         y = _bn("bn3", ura, dt, out_ch)(y)
         return nn.relu(y + identity)
+
+    def _fold(self, in_channels: int) -> Dict[str, jax.Array]:
+        """Declare this block's parameters (same names/shapes as the conv
+        path, so checkpoints interchange) and return them folded with the
+        running-average BN into the kernel-ready form consumed by
+        ops/bottleneck_hwbc (w1/b1, packed w2/b2, w3/b3 [, wd/bd]).
+
+        Only valid for frozen trunks (inference BN); used by the fused
+        Pallas trunk on the TPU hot path. Reached via
+        ``__call__(x, fold_in_channels=...)`` (the one compact method)."""
+        from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * EXPANSION
+        cg = width // self.groups
+        dt = self.dtype or jnp.float32
+
+        w1 = _GroupedKernel((1, 1, in_channels, width), name="conv1")()[0, 0]
+        mul1, add1 = InferenceBN(width, name="bn1").fold()
+        w2 = _GroupedKernel((3, 3, cg, width), name="conv2")()
+        mul2, add2 = InferenceBN(width, name="bn2").fold()
+        w3 = _GroupedKernel((1, 1, width, out_ch), name="conv3")()[0, 0]
+        mul3, add3 = InferenceBN(out_ch, name="bn3").fold()
+        fw = {
+            "w1": (w1 * mul1[None, :]).astype(dt), "b1": add1,
+            "w2": pack_grouped_kernel(
+                w2 * mul2[None, None, None, :], self.groups).astype(dt),
+            "b2": add2,
+            "w3": (w3 * mul3[None, :]).astype(dt), "b3": add3,
+        }
+        if self.has_downsample:
+            wd = _GroupedKernel(
+                (1, 1, in_channels, out_ch), name="downsample_conv")()[0, 0]
+            muld, addd = InferenceBN(out_ch, name="downsample_bn").fold()
+            fw["wd"] = (wd * muld[None, :]).astype(dt)
+            fw["bd"] = addd
+        return fw
 
     def _packed_fgc(self) -> int:
         dg = self.dense_groups
@@ -207,6 +247,19 @@ class ResNeXt50(nn.Module):
     # friendly), False = XLA grouped-conv lowering. A bool means
     # "layer1 only" (round-1 behavior); a 4-tuple picks per stage.
     dense_groups: Any = False
+    # fused Pallas trunk (ops/bottleneck_hwbc): runs every bottleneck
+    # block as a fused kernel in the batch-in-sublanes layout. Active only
+    # on TPU for frozen trunks (running BN) in bf16; measured faster than
+    # the XLA lowering on layers 2-4 at B=256 (see BENCH_NOTES.md).
+    # Override with MMB_FUSED_TRUNK=0/1.
+    fused_trunk: bool = True
+
+    def _use_fused(self, ura: bool) -> bool:
+        env = os.environ.get("MMB_FUSED_TRUNK")
+        if env is not None:
+            return env == "1"
+        return (self.fused_trunk and ura and self.dtype == jnp.bfloat16
+                and jax.devices()[0].platform == "tpu")
 
     def _dense_stage(self, stage_idx: int):
         """Per-stage dense_groups value passed to BottleneckX: bool or a
@@ -231,6 +284,10 @@ class ResNeXt50(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
 
+        # batch-in-sublanes layout needs B % 16 == 0; else fall back
+        if self._use_fused(ura) and y.shape[0] % 16 == 0:
+            return self._fused_stages(y)
+
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
             for block_idx in range(blocks):
@@ -251,3 +308,64 @@ class ResNeXt50(nn.Module):
         # HBM traffic on the hot path
         pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
         return {"pooled": pooled, "feature_map": y}
+
+    # per-stage kernel strategy for the fused trunk:
+    #   "blocks"   — one fused Pallas call per bottleneck block
+    #   "full"     — whole stage in one call, full spatial extent in VMEM
+    #   "split"    — stride-2 head block alone + "full" for the tail
+    #   "bandedN"  — whole stage, banded over N output rows per grid cell
+    # Override with MMB_TRUNK_PLAN="banded14,blocks,split,full"-style.
+    fused_plan: Tuple[str, ...] = ("blocks", "blocks", "blocks", "blocks")
+
+    def _fused_stages(self, y: jax.Array) -> Dict[str, jax.Array]:
+        """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +
+        feature map via fused kernels in the batch-in-sublanes layout.
+        Declares the exact same parameters as the conv path (BottleneckX
+        fold mode), so checkpoints interchange."""
+        from multimodal_baby_tpu.ops.bottleneck_hwbc import (
+            from_hwbc, fused_bottleneck_hwbc, fused_stage_banded,
+            fused_stage_hwbc, to_hwbc)
+        env = os.environ.get("MMB_TRUNK_PLAN")
+        plan = tuple(env.split(",")) if env else self.fused_plan
+        # the fused path only activates for frozen trunks (running BN), so
+        # cut the AD path here: no trunk backward is ever built, and the
+        # Pallas forwards are never differentiated.
+        # optimization_barrier pins the layout transpose AFTER the maxpool
+        # (XLA otherwise commutes it to the 4x larger 112x112 stem output
+        # — 3.6 ms/step of layout copies in the device trace).
+        y = jax.lax.optimization_barrier(y)
+        y = jax.lax.stop_gradient(to_hwbc(y))
+        in_ch = 64
+        for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
+            fws, strides = [], []
+            for block_idx in range(blocks):
+                s = stride if block_idx == 0 else 1
+                needs_ds = block_idx == 0 and (
+                    s != 1 or in_ch != planes * EXPANSION)
+                fw = BottleneckX(
+                    planes=planes, stride=s, has_downsample=needs_ds,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{block_idx}")(
+                        None, fold_in_channels=in_ch)
+                fws.append(jax.tree.map(jax.lax.stop_gradient, fw))
+                strides.append(s)
+                in_ch = planes * EXPANSION
+            mode = plan[stage_idx]
+            if mode == "blocks":
+                for fw, s in zip(fws, strides):
+                    y = fused_bottleneck_hwbc(y, fw, stride=s)
+            elif mode == "full":
+                y = fused_stage_hwbc(y, fws, strides)
+            elif mode == "split":
+                y = fused_bottleneck_hwbc(y, fws[0], stride=strides[0])
+                y = fused_stage_hwbc(y, fws[1:], strides[1:])
+            elif mode.startswith("banded"):
+                hh = int(mode[6:]) if len(mode) > 6 else 14
+                y = fused_stage_banded(y, fws, strides, hh=hh)
+            else:
+                raise ValueError(f"unknown fused-trunk mode {mode!r}")
+
+        # y: [7, B/16, 7, 16, 2048]; 49-way mean in f32 over spatial axes
+        pooled = jnp.mean(y.astype(jnp.float32), axis=(0, 2))
+        pooled = pooled.reshape(-1, y.shape[-1])
+        return {"pooled": pooled, "feature_map": from_hwbc(y)}

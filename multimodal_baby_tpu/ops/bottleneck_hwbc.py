@@ -95,7 +95,7 @@ def _kernel(x_lo_ref, x_main_ref, x_hi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             w3_ref, b3_ref, wd_ref, bd_ref, out_ref,
             h1pad, h2_scr,
             *, stride: int, has_ds: bool, hh: int, R: int, W: int, Bq: int,
-            parts: str = "all"):
+            parts: str = "all", conv3_mode: str = "scratch"):
     cin = w1_ref.shape[0]
     width = w1_ref.shape[1]
     cout = w3_ref.shape[1]
@@ -186,6 +186,7 @@ def _kernel(x_lo_ref, x_main_ref, x_hi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         # grouped 3x3 conv: groups packed into BS-wide diagonal blocks;
         # nine accumulating K=BS dots straight off the tap slices
         # (zero copies: tile-addressed loads feed the MXU)
+        y = None
         for b in range(nb if parts != "noc2" else 0):
             h2b = jnp.dot(tap_slice(k0, b, 0), w2_ref[0, b],
                           preferred_element_type=jnp.float32)
@@ -193,12 +194,23 @@ def _kernel(x_lo_ref, x_main_ref, x_hi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 h2b = h2b + jnp.dot(tap_slice(k0, b, t), w2_ref[t, b],
                                     preferred_element_type=jnp.float32)
             h2b = jnp.maximum(h2b + b2_ref[0, b * BS:(b + 1) * BS], 0.0)
-            h2_scr[..., b * BS:(b + 1) * BS] = h2b.astype(dt).reshape(
-                R, Bq, Wo, BSUB, BS)
+            if conv3_mode == "accum":
+                # conv3 folded in: consume h2 block while it's hot
+                # (skips the h2 VMEM round trip)
+                yb = jnp.dot(h2b.astype(dt),
+                             w3_ref[b * BS:(b + 1) * BS, :],
+                             preferred_element_type=jnp.float32)
+                y = yb if y is None else y + yb
+            else:
+                h2_scr[..., b * BS:(b + 1) * BS] = h2b.astype(dt).reshape(
+                    R, Bq, Wo, BSUB, BS)
 
         # conv3 + bn3 + residual + relu
-        y = jnp.dot(h2_scr[:].reshape(m, width), w3_ref[:],
-                    preferred_element_type=jnp.float32) + b3_ref[0]
+        if conv3_mode == "accum" and y is not None:
+            y = y + b3_ref[0]
+        else:
+            y = jnp.dot(h2_scr[:].reshape(m, width), w3_ref[:],
+                        preferred_element_type=jnp.float32) + b3_ref[0]
         if stride == 1:
             xid = x_main_ref[k0:k0 + R].reshape(m, cin)
         else:
@@ -235,6 +247,7 @@ def fused_bottleneck_hwbc(
     hh: int | None = None,
     R: int | None = None,
     parts: str = "all",
+    conv3_mode: str = "scratch",
 ) -> jax.Array:
     """x: [H, B/16, W, 16, Cin] (batch-in-sublanes, see to_hwbc);
     fw: fold_block_params output. Bc = batch per grid cell (multiple of 16).
@@ -256,8 +269,10 @@ def fused_bottleneck_hwbc(
     hin = stride * hh
     grid = (nBq // Bq, Ho // hh)
 
-    wd = fw.get("wd", jnp.zeros((cin, cout), fw["w1"].dtype))
-    bd = fw.get("bd", jnp.zeros((cout,), jnp.float32))
+    # tiny placeholders when no downsample: the kernel never reads them
+    # (has_ds is static), so don't waste HBM->VMEM traffic on zeros
+    wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+    bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
 
     def const_map(n):
         return lambda ib, ih: (0,) * n
@@ -284,14 +299,15 @@ def fused_bottleneck_hwbc(
         pl.BlockSpec((1, width), const_map(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((width, cout), const_map(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((cin, cout), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), const_map(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wd.shape, const_map(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bd.shape[0]), const_map(2),
+                     memory_space=pltpu.VMEM),
     ]
 
     Wp = W + 2 if stride == 1 else W + 4
     kernel = functools.partial(
         _kernel, stride=stride, has_ds=has_ds, hh=hh, R=R, W=W, Bq=Bq,
-        parts=parts)
+        parts=parts, conv3_mode=conv3_mode)
 
     B = nBq * BSUB
     # conv1 over hin+2 rows, conv2 at output resolution (rows already
@@ -322,6 +338,486 @@ def fused_bottleneck_hwbc(
     )(x, x, x, fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
       fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
       wd, bd.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# whole-stage kernel (full spatial extent resident in VMEM per batch tile)
+# ---------------------------------------------------------------------------
+
+def _stage_kernel(*refs, strides, has_dss, hh_out, W0, Bq, n_blocks,
+                  width, cout):
+    """refs: x, then 8 weight refs per block (w1,b1,w2,b2,w3,b3,wd,bd),
+    then out_ref, then scratches (h1pad, tA, tB, h2_scr).
+
+    Every block keeps its input, h1 and output in VMEM; HBM sees one read
+    of the stage input and one write of the stage output. The full spatial
+    extent is resident, so conv zero-padding is plain zeroed h1pad rows —
+    no banding, no halo streams, no boundary conditionals."""
+    x_ref = refs[0]
+    w_refs = refs[1:1 + 8 * n_blocks]
+    out_ref = refs[1 + 8 * n_blocks]
+    h1pad, tA, tB, h2_scr = refs[2 + 8 * n_blocks:]
+    dt = out_ref.dtype
+
+    Hj, Wj = x_ref.shape[0], W0          # current block input dims
+    cur = x_ref
+    for j in range(n_blocks):
+        (w1, b1, w2, b2, w3, b3, wd, bd) = w_refs[8 * j:8 * j + 8]
+        stride = strides[j]
+        has_ds = has_dss[j]
+        cin = w1.shape[0]
+        nb = w2.shape[1]
+        Ho, Wo = Hj // stride, Wj // stride
+        Wp = Wj + 2 if stride == 1 else Wj + 4
+        tout = out_ref if j == n_blocks - 1 else (tA, tB)[j % 2]
+
+        # zero-pad strips for THIS block's extents (previous blocks may
+        # have left larger extents dirty; strips shrink monotonically)
+        for c in range(Wp):
+            if c == 0 or c > Wj:
+                h1pad[0:Hj + 2, :, c] = jnp.zeros(
+                    (Hj + 2, Bq, BSUB, width), dt)
+        h1pad[0] = jnp.zeros(h1pad.shape[1:], dt)
+        h1pad[Hj + 1] = jnp.zeros(h1pad.shape[1:], dt)
+
+        # conv1 in row chunks (bounds the f32 pre-cast temp)
+        for r0 in range(0, Hj, 8):
+            rc = min(8, Hj - r0)
+            m1 = rc * Bq * Wj * BSUB
+            h1 = jnp.dot(cur[r0:r0 + rc, :, 0:Wj].reshape(m1, cin), w1[:],
+                         preferred_element_type=jnp.float32)
+            h1 = jnp.maximum(h1 + b1[0], 0.0)
+            h1pad[1 + r0:1 + r0 + rc, :, 1:Wj + 1] = h1.astype(dt).reshape(
+                rc, Bq, Wj, BSUB, width)
+
+        R = next(r for r in (7, 4, 2, 1) if Ho % r == 0)
+
+        def tap_slice(k0, b, t, R=R, stride=stride, Wj=Wj, Wo=Wo, Wp=Wp):
+            dy, dx = divmod(t, 3)
+            if stride == 1:
+                tap = h1pad[k0 + dy:k0 + dy + R, :, dx:dx + Wj, :,
+                            b * BS:(b + 1) * BS]
+            else:
+                v = h1pad[2 * k0 + dy:2 * k0 + dy + 2 * R, :, 0:Wp, :,
+                          b * BS:(b + 1) * BS]
+                v = v.reshape(R, 2, Bq, Wp, BSUB, BS)[:, 0]
+                vp = v.reshape(R, Bq, Wp // 2, 2, BSUB, BS)
+                tap = vp[:, :, 0:Wo, dx] if dx < 2 else vp[:, :, 1:Wo + 1, 0]
+            return tap.reshape(R * Bq * Wo * BSUB, BS)
+
+        for k0 in range(0, Ho, R):
+            m = R * Bq * Wo * BSUB
+            for b in range(nb):
+                h2b = jnp.dot(tap_slice(k0, b, 0), w2[0, b],
+                              preferred_element_type=jnp.float32)
+                for t in range(1, 9):
+                    h2b = h2b + jnp.dot(tap_slice(k0, b, t), w2[t, b],
+                                        preferred_element_type=jnp.float32)
+                h2b = jnp.maximum(h2b + b2[0, b * BS:(b + 1) * BS], 0.0)
+                h2_scr[0:R, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
+                    h2b.astype(dt).reshape(R, Bq, Wo, BSUB, BS)
+
+            y = jnp.dot(h2_scr[0:R, :, 0:Wo].reshape(m, width), w3[:],
+                        preferred_element_type=jnp.float32) + b3[0]
+            if stride == 1:
+                xid = cur[k0:k0 + R, :, 0:Wj].reshape(m, cin)
+            else:
+                v = cur[2 * k0:2 * k0 + 2 * R, :, 0:Wj]
+                v = v.reshape(R, 2, Bq, Wj, BSUB, cin)[:, 0]
+                xid = v.reshape(R, Bq, Wo, 2, BSUB, cin)[:, :, :, 0].reshape(
+                    m, cin)
+            if has_ds:
+                ident = jnp.dot(xid, wd[:],
+                                preferred_element_type=jnp.float32) + bd[0]
+            else:
+                ident = xid.astype(jnp.float32)
+            tout[k0:k0 + R, :, 0:Wo] = jnp.maximum(
+                y + ident, 0.0).astype(dt).reshape(R, Bq, Wo, BSUB, cout)
+
+        cur, Hj, Wj = tout, Ho, Wo
+
+
+def fused_stage_hwbc(
+    x: jax.Array,
+    fws: list,
+    strides: list,
+    *,
+    Bc: int = 16,
+) -> jax.Array:
+    """Whole ResNeXt stage as one Pallas call: x [H, B/16, W, 16, Cin] ->
+    [H/s, B/16, W/s, 16, Cout]. Requires the full spatial extent of every
+    intermediate to fit VMEM per batch tile (true for layer3/layer4 at
+    Bc=16; layer1/2 need banding — use fused_bottleneck_hwbc per block)."""
+    H, nBq, W, bsub, cin0 = x.shape
+    assert bsub == BSUB and Bc % BSUB == 0
+    Bq = Bc // BSUB
+    n_blocks = len(fws)
+    width = fws[0]["w1"].shape[1]
+    cout = fws[0]["w3"].shape[1]
+    s0 = strides[0]
+    Ho, Wo = H // s0, W // s0
+    assert all(s == 1 for s in strides[1:]), "stride only in the first block"
+    assert all(fw["w1"].shape[1] == width and fw["w3"].shape[1] == cout
+               for fw in fws)
+
+    operands = [x]
+    in_specs = [pl.BlockSpec((H, Bq, W, BSUB, cin0),
+                             lambda ib: (0, ib, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+
+    def wspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda ib, n=n: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    has_dss = []
+    for fw in fws:
+        cin = fw["w1"].shape[0]
+        nb = fw["w2"].shape[1]
+        has_ds = "wd" in fw
+        has_dss.append(has_ds)
+        # tiny placeholders when no downsample (never read; has_ds static)
+        wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+        bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
+        arrs = [fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
+                fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
+                wd, bd.reshape(1, -1)]
+        operands.extend(arrs)
+        in_specs.extend(wspec(a.shape) for a in arrs)
+
+    kernel = functools.partial(
+        _stage_kernel, strides=tuple(strides), has_dss=tuple(has_dss),
+        hh_out=Ho, W0=W, Bq=Bq, n_blocks=n_blocks, width=width, cout=cout)
+
+    flops_img = 0
+    hj, wj, cj = H, W, cin0
+    for fw, s in zip(fws, strides):
+        cin = fw["w1"].shape[0]
+        flops_img += 2 * hj * wj * cin * width
+        hj, wj = hj // s, wj // s
+        flops_img += 2 * hj * wj * (9 * BS * width + width * cout
+                                    + (cin * cout if "wd" in fw else 0))
+
+    B = nBq * BSUB
+    return pl.pallas_call(
+        kernel,
+        grid=(nBq // Bq,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Ho, Bq, Wo, BSUB, cout),
+                               lambda ib: (0, ib, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, BSUB, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, Bq, W + 4, BSUB, width), x.dtype),
+            pltpu.VMEM((Ho, Bq, Wo, BSUB, cout), x.dtype),
+            pltpu.VMEM((Ho, Bq, Wo, BSUB, cout), x.dtype),
+            pltpu.VMEM((7, Bq, Wo, BSUB, width), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_img * B), transcendentals=0,
+            bytes_accessed=int((H * W * cin0 + Ho * Wo * cout) * 2 * B)),
+        interpret=_interpret(),
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# banded whole-stage kernel (layer1/layer2: full spatial extent exceeds
+# VMEM, so bands of hh output rows flow through all blocks with trapezoid
+# extents — each block's intermediate carries the halo rows the next 3x3
+# conv needs, recomputed per band instead of re-read from HBM)
+# ---------------------------------------------------------------------------
+
+def _stage_margins(strides):
+    """Rows of x needed beyond the aligned band, walking the chain
+    backwards: a stride-1 3x3 block adds one row each side; the stride-2
+    head block doubles and shifts ((p, q) -> (2p+1, 2q))."""
+    pre = post = 0
+    for s in reversed(strides):
+        if s == 1:
+            pre, post = pre + 1, post + 1
+        else:
+            pre, post = 2 * pre + 1, 2 * post
+    return pre, post
+
+
+def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
+                   post, R):
+    """refs: pre x-halo rows, x_main, post x-halo rows, 8 weight refs per
+    block, out_ref, scratches (h1pad, tA, tB, h2_scr).
+
+    metas[j] = (ext_in, ext_out, off_in, post_in, stride, has_ds).
+    Tensor t_j carries ext_j rows: the hh aligned output rows plus the
+    halo margins consumed by downstream 3x3 convs. Out-of-image halo rows
+    at the first/last band are zeroed in each block's h1 (the only path
+    through which they influence aligned rows)."""
+    x_halo_pre = refs[:pre]
+    x_main = refs[pre]
+    x_halo_post = refs[pre + 1:pre + 1 + post]
+    w_refs = refs[pre + 1 + post:pre + 1 + post + 8 * n_blocks]
+    out_ref = refs[pre + 1 + post + 8 * n_blocks]
+    h1pad, tA, tB, h2_scr = refs[pre + 2 + post + 8 * n_blocks:]
+    dt = out_ref.dtype
+    i_h = pl.program_id(1)
+    n_h = pl.num_programs(1)
+
+    cur = None  # block 0 reads the x pieces directly
+    Wj = W0
+    for j in range(n_blocks):
+        (w1, b1, w2, b2, w3, b3, wd, bd) = w_refs[8 * j:8 * j + 8]
+        ext_in, ext_out, off_in, post_in, stride, has_ds = metas[j]
+        cin = w1.shape[0]
+        nb = w2.shape[1]
+        Wo = Wj // stride
+        Wp = Wj + 2 if stride == 1 else Wj + 4
+        tout = out_ref if j == n_blocks - 1 else (tA, tB)[j % 2]
+
+        # W-pad strips for this block's width
+        for c in range(Wp):
+            if c == 0 or c > Wj:
+                h1pad[0:ext_in, :, c] = jnp.zeros(
+                    (ext_in, Bq, BSUB, width), dt)
+
+        def conv1(v, rows, w1=w1, b1=b1, cin=cin, Wj=Wj):
+            m = rows * Bq * Wj * BSUB
+            h = jnp.dot(v.reshape(m, cin), w1[:],
+                        preferred_element_type=jnp.float32)
+            return jnp.maximum(h + b1[0], 0.0).astype(dt).reshape(
+                rows, Bq, Wj, BSUB, width)
+
+        if j == 0:
+            for d in range(pre):
+                h1pad[d:d + 1, :, 1:Wj + 1] = conv1(x_halo_pre[d][:], 1)
+            nmain = x_main.shape[0]
+            for r0 in range(0, nmain, 8):
+                rc = min(8, nmain - r0)
+                h1pad[pre + r0:pre + r0 + rc, :, 1:Wj + 1] = conv1(
+                    x_main[r0:r0 + rc], rc)
+            for d in range(post):
+                h1pad[pre + nmain + d:pre + nmain + d + 1, :, 1:Wj + 1] = \
+                    conv1(x_halo_post[d][:], 1)
+        else:
+            for r0 in range(0, ext_in, 8):
+                rc = min(8, ext_in - r0)
+                h1pad[r0:r0 + rc, :, 1:Wj + 1] = conv1(
+                    cur[r0:r0 + rc, :, 0:Wj], rc)
+
+        # out-of-image halo rows are zero by conv semantics
+        @pl.when(i_h == 0)
+        def _():
+            for r in range(off_in):
+                h1pad[r] = jnp.zeros(h1pad.shape[1:], dt)
+
+        @pl.when(i_h == n_h - 1)
+        def _():
+            for r in range(ext_in - post_in, ext_in):
+                h1pad[r] = jnp.zeros(h1pad.shape[1:], dt)
+
+        def tap_slice(k0, b, t, Rc, stride=stride, Wj=Wj, Wo=Wo, Wp=Wp):
+            dy, dx = divmod(t, 3)
+            if stride == 1:
+                tap = h1pad[k0 + dy:k0 + dy + Rc, :, dx:dx + Wj, :,
+                            b * BS:(b + 1) * BS]
+            else:
+                v = h1pad[2 * k0 + dy:2 * k0 + dy + 2 * Rc, :, 0:Wp, :,
+                          b * BS:(b + 1) * BS]
+                v = v.reshape(Rc, 2, Bq, Wp, BSUB, BS)[:, 0]
+                vp = v.reshape(Rc, Bq, Wp // 2, 2, BSUB, BS)
+                tap = vp[:, :, 0:Wo, dx] if dx < 2 else vp[:, :, 1:Wo + 1, 0]
+            return tap.reshape(Rc * Bq * Wo * BSUB, BS)
+
+        for k0 in range(0, ext_out, R):
+            Rc = min(R, ext_out - k0)
+            m = Rc * Bq * Wo * BSUB
+            for b in range(nb):
+                h2b = jnp.dot(tap_slice(k0, b, 0, Rc), w2[0, b],
+                              preferred_element_type=jnp.float32)
+                for t in range(1, 9):
+                    h2b = h2b + jnp.dot(tap_slice(k0, b, t, Rc), w2[t, b],
+                                        preferred_element_type=jnp.float32)
+                h2b = jnp.maximum(h2b + b2[0, b * BS:(b + 1) * BS], 0.0)
+                h2_scr[0:Rc, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
+                    h2b.astype(dt).reshape(Rc, Bq, Wo, BSUB, BS)
+
+            y = jnp.dot(h2_scr[0:Rc, :, 0:Wo].reshape(m, width), w3[:],
+                        preferred_element_type=jnp.float32) + b3[0]
+            # identity: input rows offset by (off_in - stride*off_out) = 1
+            if stride == 1:
+                if j == 0:
+                    xid = _gather_rows_s1(x_halo_pre, x_main, x_halo_post,
+                                          pre, k0 + 1, Rc, Bq, Wj, cin)
+                else:
+                    xid = cur[k0 + 1:k0 + 1 + Rc, :, 0:Wj]
+                xid = xid.reshape(m, cin)
+            else:
+                v = _gather_rows_s2(x_halo_pre, x_main, x_halo_post,
+                                    pre, 2 * k0 + 1, Rc, Bq, Wj, cin)
+                xid = v.reshape(Rc, Bq, Wo, 2, BSUB, cin)[:, :, :, 0].reshape(
+                    m, cin)
+            if has_ds:
+                ident = jnp.dot(xid, wd[:],
+                                preferred_element_type=jnp.float32) + bd[0]
+            else:
+                ident = xid.astype(jnp.float32)
+            tout[k0:k0 + Rc, :, 0:Wo] = jnp.maximum(
+                y + ident, 0.0).astype(dt).reshape(Rc, Bq, Wo, BSUB, cout)
+
+        cur, Wj = tout, Wo
+
+
+def _gather_rows_s1(halo_pre, main, halo_post, pre, r0, Rc, Bq, Wj, cin):
+    """Rows [r0, r0+Rc) of the banded block-0 input, stitched from the
+    halo/main pieces (static indices)."""
+    nmain = main.shape[0]
+    rows = []
+    for r in range(r0, r0 + Rc):
+        if r < pre:
+            rows.append(halo_pre[r][:])
+        elif r < pre + nmain:
+            rows.append(main[r - pre:r - pre + 1])
+        else:
+            rows.append(halo_post[r - pre - nmain][:])
+    if len(rows) == 1:
+        return rows[0]
+    # contiguous main fast path
+    if pre <= r0 and r0 + Rc <= pre + nmain:
+        return main[r0 - pre:r0 - pre + Rc]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _gather_rows_s2(halo_pre, main, halo_post, pre, r0, Rc, Bq, Wj, cin):
+    """Even-position identity rows for a stride-2 head block: rows
+    r0, r0+2, ..., r0+2(Rc-1), each split into (even W) pairs."""
+    nmain = main.shape[0]
+    if pre <= r0 and r0 + 2 * Rc - 1 <= pre + nmain:
+        v = main[r0 - pre:r0 - pre + 2 * Rc]
+        return v.reshape(Rc, 2, *v.shape[1:])[:, 0].reshape(
+            Rc, v.shape[1], Wj // 2, 2, BSUB, cin)
+    rows = []
+    for i in range(Rc):
+        r = r0 + 2 * i
+        if r < pre:
+            rows.append(halo_pre[r][:])
+        elif r < pre + nmain:
+            rows.append(main[r - pre:r - pre + 1])
+        else:
+            rows.append(halo_post[r - pre - nmain][:])
+    v = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    return v.reshape(Rc, v.shape[1], Wj // 2, 2, BSUB, cin)
+
+
+def fused_stage_banded(
+    x: jax.Array,
+    fws: list,
+    strides: list,
+    *,
+    Bc: int = 16,
+    hh: int = 14,
+    R: int = 7,
+) -> jax.Array:
+    """Banded whole-stage: x [H, B/16, W, 16, Cin] -> out in 5D layout.
+    Bands of hh output rows flow through every block in VMEM; HBM sees the
+    stage input once (+ halo margins) and the stage output once."""
+    H, nBq, W, bsub, cin0 = x.shape
+    assert bsub == BSUB and Bc % BSUB == 0
+    Bq = Bc // BSUB
+    n_blocks = len(fws)
+    width = fws[0]["w1"].shape[1]
+    cout = fws[0]["w3"].shape[1]
+    s0 = strides[0]
+    assert all(s == 1 for s in strides[1:])
+    Ho, Wo = H // s0, W // s0
+    assert Ho % hh == 0
+    pre, post = _stage_margins(strides)
+    hin = s0 * hh
+
+    # per-block extents/offsets
+    metas = []
+    ext, off, pst = hin + pre + post, pre, post
+    for fw, s in zip(fws, strides):
+        ext_out = ext - 2 if s == 1 else (ext - 1) // 2
+        off_out = off - 1 if s == 1 else (off - 1) // 2
+        pst_out = pst - 1 if s == 1 else pst // 2
+        metas.append((ext, ext_out, off, pst, s, "wd" in fw))
+        ext, off, pst = ext_out, off_out, pst_out
+    assert ext == hh and off == 0 and pst == 0, (ext, off, pst)
+    max_t_ext = max(m[1] for m in metas[:-1]) if n_blocks > 1 else 1
+
+    def halo_spec(d):
+        return pl.BlockSpec(
+            (1, Bq, W, BSUB, cin0),
+            lambda ib, ih, d=d: (
+                jnp.clip(ih * hin + d, 0, H - 1), ib, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [halo_spec(d) for d in range(-pre, 0)]
+        + [pl.BlockSpec((hin, Bq, W, BSUB, cin0),
+                        lambda ib, ih: (ih, ib, 0, 0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [halo_spec(hin + d) for d in range(post)])
+    operands = [x] * (pre + 1 + post)
+
+    def wspec(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda ib, ih, n=n: (0,) * n,
+                            memory_space=pltpu.VMEM)
+
+    for fw in fws:
+        wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+        bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
+        arrs = [fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
+                fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
+                wd, bd.reshape(1, -1)]
+        operands.extend(arrs)
+        in_specs.extend(wspec(a.shape) for a in arrs)
+
+    kernel = functools.partial(
+        _banded_kernel, metas=tuple(metas), hh=hh, W0=W, Bq=Bq,
+        n_blocks=n_blocks, width=width, cout=cout, pre=pre, post=post, R=R)
+
+    ext_x = hin + pre + post
+    B = nBq * BSUB
+    flops_img = 0
+    wj, cj = W, cin0
+    for fw, s, m in zip(fws, strides, metas):
+        cin = fw["w1"].shape[0]
+        scale = (m[0] / (s * hh), m[1] / hh)  # recompute factors
+        flops_img += 2 * Ho * s * wj * cin * width * scale[0]
+        wj = wj // s
+        flops_img += 2 * Ho * wj * (9 * BS * width + width * cout
+                                    + (cin * cout if "wd" in fw else 0)
+                                    ) * scale[1]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nBq // Bq, Ho // hh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((hh, Bq, Wo, BSUB, cout),
+                               lambda ib, ih: (ih, ib, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, BSUB, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ext_x + 1, Bq, W + 4, BSUB, width), x.dtype),
+            pltpu.VMEM((max_t_ext, Bq, Wo, BSUB, cout), x.dtype),
+            pltpu.VMEM((max_t_ext, Bq, Wo, BSUB, cout), x.dtype),
+            pltpu.VMEM((R, Bq, Wo, BSUB, width), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_img * B), transcendentals=0,
+            bytes_accessed=int(
+                (H * W * cin0 * ext_x / hin + Ho * Wo * cout) * 2 * B)),
+        interpret=_interpret(),
+    )(*operands)
+
+
+def stage_reference(x: jax.Array, fws: list, strides: list) -> jax.Array:
+    """Oracle: chain of XLA reference blocks in [B, H, W, C] layout."""
+    y = from_hwbc(x)
+    for fw, s in zip(fws, strides):
+        y = bottleneck_reference(y, fw, stride=s)
+    return to_hwbc(y)
 
 
 def hwbc_reference(x: jax.Array, fw: Dict[str, jax.Array],

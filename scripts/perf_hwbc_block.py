@@ -52,7 +52,8 @@ def mk_fw(rng, cin, width, cout, has_ds):
 _WARMED = False
 
 
-def time_block(x, fw, stride, Bc, hh, R, parts="all", iters=3, inner=10):
+def time_block(x, fw, stride, Bc, hh, R, parts="all", conv3="scratch",
+               iters=3, inner=10):
     global _WARMED
 
     @jax.jit
@@ -61,7 +62,8 @@ def time_block(x, fw, stride, Bc, hh, R, parts="all", iters=3, inner=10):
             fw2 = dict(fw)
             fw2["w1"] = (fw["w1"].astype(jnp.float32) + c).astype(DT)
             y = fused_bottleneck_hwbc(x, fw2, stride=stride, Bc=Bc,
-                                      hh=hh, R=R, parts=parts)
+                                      hh=hh, R=R, parts=parts,
+                                      conv3_mode=conv3)
             out = jnp.sum(y.astype(jnp.float32))
             return out * 0.0, out
         _, outs = jax.lax.scan(body, jnp.float32(0), None, length=inner)
@@ -83,15 +85,35 @@ def time_block(x, fw, stride, Bc, hh, R, parts="all", iters=3, inner=10):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("block", choices=list(CONFIGS) + ["all"])
+    ap.add_argument("block")
     ap.add_argument("--bc", type=str, default="16")
     ap.add_argument("--hh", type=str, default="0")  # 0 = auto
     ap.add_argument("--r", type=str, default="0")
     ap.add_argument("--parts", type=str, default="all")
+    ap.add_argument("--conv3", type=str, default="scratch")
     args = ap.parse_args()
 
+    if args.block.startswith("bstage"):
+        for name in args.block.split(","):
+            for Bc in [int(v) for v in args.bc.split(",")]:
+                for hh in [int(v) for v in args.hh.split(",")] or [0]:
+                    try:
+                        run_banded(name, Bc=Bc, hh=hh or 14)
+                    except Exception as e:
+                        print(f"{name} Bc={Bc} hh={hh}: FAIL {str(e)[:150]}",
+                              flush=True)
+        return
+    if args.block.startswith("stage"):
+        for name in args.block.split(","):
+            for Bc in [int(v) for v in args.bc.split(",")]:
+                try:
+                    run_stage(name, Bc=Bc)
+                except Exception as e:
+                    print(f"{name} Bc={Bc}: FAIL {str(e)[:150]}", flush=True)
+        return
+
     rng = np.random.RandomState(0)
-    names = list(CONFIGS) if args.block == "all" else [args.block]
+    names = list(CONFIGS) if args.block == "all" else args.block.split(",")
     for name in names:
         H, cin, width, cout, stride, has_ds = CONFIGS[name]
         fw = mk_fw(rng, cin, width, cout, has_ds)
@@ -101,16 +123,103 @@ def main():
             for hh in [int(v) for v in args.hh.split(",")]:
                 for R in [int(v) for v in args.r.split(",")]:
                     for parts in args.parts.split(","):
-                        try:
-                            dt = time_block(x, fw, stride, Bc,
-                                            hh or None, R or None, parts)
-                            print(f"{name}: Bc={Bc} hh={hh or 'auto'} "
-                                  f"R={R or 'auto'} parts={parts}: "
-                                  f"{dt*1e3:6.3f} ms", flush=True)
-                        except Exception as e:
-                            print(f"{name}: Bc={Bc} hh={hh} R={R} "
-                                  f"{parts}: FAIL {str(e)[:120]}",
-                                  flush=True)
+                        for c3 in args.conv3.split(","):
+                            try:
+                                dt = time_block(x, fw, stride, Bc,
+                                                hh or None, R or None,
+                                                parts, c3)
+                                print(f"{name}: Bc={Bc} hh={hh or 'auto'} "
+                                      f"R={R or 'auto'} parts={parts} "
+                                      f"conv3={c3}: "
+                                      f"{dt*1e3:6.3f} ms", flush=True)
+                            except Exception as e:
+                                print(f"{name}: Bc={Bc} hh={hh} R={R} "
+                                      f"{parts} {c3}: FAIL {str(e)[:120]}",
+                                      flush=True)
+
+
+# --- whole-stage probe: python perf_hwbc_block.py stage3|stage4 ---
+STAGES = {
+    "stage2": (56, [(256, 256, 512, 2, True)] + [(512, 256, 512, 1, False)] * 3),
+    "stage3": (28, [(512, 512, 1024, 2, True)] + [(1024, 512, 1024, 1, False)] * 5),
+    "stage4": (14, [(1024, 1024, 2048, 2, True)] + [(2048, 1024, 2048, 1, False)] * 2),
+    # tail-only variants (stride-2 head block run separately per-block)
+    "stage2b": (28, [(512, 256, 512, 1, False)] * 3),
+    "stage3b": (14, [(1024, 512, 1024, 1, False)] * 5),
+    "stage4b": (7, [(2048, 1024, 2048, 1, False)] * 2),
+}
+
+def run_stage(name, Bc=16, iters=3, inner=10):
+    from multimodal_baby_tpu.ops.bottleneck_hwbc import fused_stage_hwbc
+    global _WARMED
+    H, cfgs = STAGES[name]
+    rng = np.random.RandomState(0)
+    fws = [mk_fw(rng, cin, w, co, ds) for cin, w, co, s, ds in cfgs]
+    strides = [c[3] for c in cfgs]
+    x = to_hwbc(jnp.asarray(
+        rng.randn(B, H, H, cfgs[0][0]).astype(np.float32)).astype(DT))
+
+    @jax.jit
+    def run(x, fws):
+        def body(c, _):
+            fws2 = [dict(fw) for fw in fws]
+            fws2[0]["w1"] = (fws[0]["w1"].astype(jnp.float32) + c).astype(DT)
+            y = fused_stage_hwbc(x, fws2, strides, Bc=Bc)
+            out = jnp.sum(y.astype(jnp.float32))
+            return out * 0.0, out
+        _, outs = jax.lax.scan(body, jnp.float32(0), None, length=inner)
+        return outs.sum()
+
+    out = run(x, fws)
+    jax.block_until_ready(out)
+    if not _WARMED:
+        _ = float(run(x, fws)); _WARMED = True
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(x, fws)
+    _ = float(out)
+    dt = (time.perf_counter() - t0) / (iters * inner)
+    print(f"{name} fused whole-stage (Bc={Bc}): {dt*1e3:6.3f} ms", flush=True)
+
+
+BSTAGES = {
+    "bstage1": (56, [(64, 128, 256, 1, True)] + [(256, 128, 256, 1, False)] * 2),
+    "bstage2": (56, [(256, 256, 512, 2, True)] + [(512, 256, 512, 1, False)] * 3),
+}
+
+
+def run_banded(name, Bc=16, hh=14, iters=3, inner=10):
+    from multimodal_baby_tpu.ops.bottleneck_hwbc import fused_stage_banded
+    global _WARMED
+    H, cfgs = BSTAGES[name]
+    rng = np.random.RandomState(0)
+    fws = [mk_fw(rng, cin, w, co, ds) for cin, w, co, s, ds in cfgs]
+    strides = [c[3] for c in cfgs]
+    x = to_hwbc(jnp.asarray(
+        rng.randn(B, H, H, cfgs[0][0]).astype(np.float32)).astype(DT))
+
+    @jax.jit
+    def run(x, fws):
+        def body(c, _):
+            fws2 = [dict(fw) for fw in fws]
+            fws2[0]["w1"] = (fws[0]["w1"].astype(jnp.float32) + c).astype(DT)
+            y = fused_stage_banded(x, fws2, strides, Bc=Bc, hh=hh)
+            out = jnp.sum(y.astype(jnp.float32))
+            return out * 0.0, out
+        _, outs = jax.lax.scan(body, jnp.float32(0), None, length=inner)
+        return outs.sum()
+
+    out = run(x, fws)
+    jax.block_until_ready(out)
+    if not _WARMED:
+        _ = float(run(x, fws)); _WARMED = True
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(x, fws)
+    _ = float(out)
+    dt = (time.perf_counter() - t0) / (iters * inner)
+    print(f"{name} banded stage (Bc={Bc}, hh={hh}): {dt*1e3:6.3f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":
