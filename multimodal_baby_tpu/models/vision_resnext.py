@@ -315,7 +315,10 @@ class ResNeXt50(nn.Module):
     #   "split"    — stride-2 head block alone + "full" for the tail
     #   "bandedN"  — whole stage, banded over N output rows per grid cell
     # Override with MMB_TRUNK_PLAN="banded14,blocks,split,full"-style.
-    fused_plan: Tuple[str, ...] = ("blocks", "blocks", "blocks", "blocks")
+    # Default = measured-best on v5e at B=256 (bench A/B, BENCH_NOTES.md):
+    # per-block kernels for the large-spatial stages, stride-2 head block
+    # + whole-stage-in-VMEM tail for layers 3/4.
+    fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "split")
 
     def _fused_stages(self, y: jax.Array) -> Dict[str, jax.Array]:
         """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +

@@ -714,10 +714,15 @@ def fused_stage_banded(
     Bc: int = 16,
     hh: int = 14,
     R: int = 7,
+    halo_source: jax.Array | None = None,
 ) -> jax.Array:
     """Banded whole-stage: x [H, B/16, W, 16, Cin] -> out in 5D layout.
     Bands of hh output rows flow through every block in VMEM; HBM sees the
-    stage input once (+ halo margins) and the stage output once."""
+    stage input once (+ halo margins) and the stage output once.
+
+    halo_source: optional physically-distinct copy of x to feed the halo
+    row streams from (perf experiment: Mosaic may serialize DMAs that
+    alias one buffer)."""
     H, nBq, W, bsub, cin0 = x.shape
     assert bsub == BSUB and Bc % BSUB == 0
     Bq = Bc // BSUB
@@ -756,7 +761,8 @@ def fused_stage_banded(
                         lambda ib, ih: (ih, ib, 0, 0, 0),
                         memory_space=pltpu.VMEM)]
         + [halo_spec(hin + d) for d in range(post)])
-    operands = [x] * (pre + 1 + post)
+    hs = x if halo_source is None else halo_source
+    operands = [hs] * pre + [x] + [hs] * post
 
     def wspec(shape):
         n = len(shape)

@@ -91,17 +91,21 @@ def main():
     ap.add_argument("--r", type=str, default="0")
     ap.add_argument("--parts", type=str, default="all")
     ap.add_argument("--conv3", type=str, default="scratch")
+    ap.add_argument("--halo-copy", action="store_true")
     args = ap.parse_args()
 
     if args.block.startswith("bstage"):
         for name in args.block.split(","):
             for Bc in [int(v) for v in args.bc.split(",")]:
                 for hh in [int(v) for v in args.hh.split(",")] or [0]:
-                    try:
-                        run_banded(name, Bc=Bc, hh=hh or 14)
-                    except Exception as e:
-                        print(f"{name} Bc={Bc} hh={hh}: FAIL {str(e)[:150]}",
-                              flush=True)
+                    for hc in ([False, True] if args.halo_copy
+                               else [False]):
+                        try:
+                            run_banded(name, Bc=Bc, hh=hh or 14,
+                                       halo_copy=hc)
+                        except Exception as e:
+                            print(f"{name} Bc={Bc} hh={hh} hc={hc}: "
+                                  f"FAIL {str(e)[:150]}", flush=True)
         return
     if args.block.startswith("stage"):
         for name in args.block.split(","):
@@ -188,7 +192,7 @@ BSTAGES = {
 }
 
 
-def run_banded(name, Bc=16, hh=14, iters=3, inner=10):
+def run_banded(name, Bc=16, hh=14, halo_copy=False, iters=3, inner=10):
     from multimodal_baby_tpu.ops.bottleneck_hwbc import fused_stage_banded
     global _WARMED
     H, cfgs = BSTAGES[name]
@@ -197,29 +201,34 @@ def run_banded(name, Bc=16, hh=14, iters=3, inner=10):
     strides = [c[3] for c in cfgs]
     x = to_hwbc(jnp.asarray(
         rng.randn(B, H, H, cfgs[0][0]).astype(np.float32)).astype(DT))
+    x2 = x + jnp.bfloat16(0) if halo_copy else None
+    if x2 is not None:
+        x2 = jax.device_put(np.asarray(x2))
 
     @jax.jit
-    def run(x, fws):
+    def run(x, fws, x2=None):
         def body(c, _):
             fws2 = [dict(fw) for fw in fws]
             fws2[0]["w1"] = (fws[0]["w1"].astype(jnp.float32) + c).astype(DT)
-            y = fused_stage_banded(x, fws2, strides, Bc=Bc, hh=hh)
+            y = fused_stage_banded(x, fws2, strides, Bc=Bc, hh=hh,
+                                   halo_source=x2)
             out = jnp.sum(y.astype(jnp.float32))
             return out * 0.0, out
         _, outs = jax.lax.scan(body, jnp.float32(0), None, length=inner)
         return outs.sum()
 
-    out = run(x, fws)
+    args = (x, fws, x2) if halo_copy else (x, fws)
+    out = run(*args)
     jax.block_until_ready(out)
     if not _WARMED:
-        _ = float(run(x, fws)); _WARMED = True
+        _ = float(run(*args)); _WARMED = True
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run(x, fws)
+        out = run(*args)
     _ = float(out)
     dt = (time.perf_counter() - t0) / (iters * inner)
-    print(f"{name} banded stage (Bc={Bc}, hh={hh}): {dt*1e3:6.3f} ms",
-          flush=True)
+    print(f"{name} banded stage (Bc={Bc}, hh={hh}, halo_copy={halo_copy}): "
+          f"{dt*1e3:6.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
