@@ -318,7 +318,7 @@ class ResNeXt50(nn.Module):
     # Default = measured-best on v5e at B=256 (bench A/B, BENCH_NOTES.md):
     # per-block kernels for the large-spatial stages, stride-2 head block
     # + whole-stage-in-VMEM tail for layers 3/4.
-    fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "split")
+    fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "full")
 
     def _fused_stages(self, y: jax.Array) -> Dict[str, jax.Array]:
         """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +

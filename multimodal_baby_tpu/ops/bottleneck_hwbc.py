@@ -91,18 +91,29 @@ def from_hwbc(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(bq * bs, h, w, c)
 
 
-def _kernel(x_lo_ref, x_main_ref, x_hi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            w3_ref, b3_ref, wd_ref, bd_ref, out_ref,
-            h1pad, h2_scr,
-            *, stride: int, has_ds: bool, hh: int, R: int, W: int, Bq: int,
-            parts: str = "all", conv3_mode: str = "scratch"):
+def _kernel(*refs,
+            stride: int, has_ds: bool, hh: int, R: int, W: int, Bq: int,
+            parts: str = "all", conv3_mode: str = "scratch",
+            n_h_static: int = 0):
+    """Fused bottleneck block body. Grid mode (n_h_static == 0): the band
+    index comes from the Pallas grid. Tile mode (n_h_static > 0): the
+    caller runs one band per call (XLA-fed VMEM operands) and passes the
+    band index as a leading SMEM scalar."""
+    if n_h_static:
+        ih_ref, refs = refs[0], refs[1:]
+    (x_lo_ref, x_main_ref, x_hi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     w3_ref, b3_ref, wd_ref, bd_ref, out_ref, h1pad, h2_scr) = refs
     cin = w1_ref.shape[0]
     width = w1_ref.shape[1]
     cout = w3_ref.shape[1]
     nb = w2_ref.shape[1]
     dt = out_ref.dtype
-    i_h = pl.program_id(1)
-    n_h = pl.num_programs(1)
+    if n_h_static:
+        i_h = ih_ref[0]
+        n_h = n_h_static
+    else:
+        i_h = pl.program_id(1)
+        n_h = pl.num_programs(1)
     hin = stride * hh            # main-band input rows
     Wo = W // stride
     Wp = h1pad.shape[2]          # W + 2 (s1) or W + 4 (s2, even)
@@ -338,6 +349,112 @@ def fused_bottleneck_hwbc(
     )(x, x, x, fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
       fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
       wd, bd.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# XLA-fed tile mode: the Pallas/Mosaic DMA engine path measures ~340 GB/s
+# aggregate on this v5e while XLA's own data movement runs at ~813 GB/s
+# (BENCH_NOTES.md). Here each band tile is sliced and VMEM-"colored" by
+# XLA (pltpu.with_memory_space_constraint), so the bytes ride XLA's copy
+# path (~700 GB/s measured, async copy-start/done overlapping the kernel)
+# and the gridless kernel touches HBM only for its (small) weights.
+# ---------------------------------------------------------------------------
+
+def fused_bottleneck_tiles(
+    x: jax.Array,
+    fw: Dict[str, jax.Array],
+    *,
+    stride: int = 1,
+    Bc: int = 16,
+    hh: int | None = None,
+    R: int | None = None,
+) -> jax.Array:
+    """Same math as fused_bottleneck_hwbc, but banded over an XLA scan
+    with VMEM-constrained operands instead of a Pallas grid. Tile sizes
+    must stay within XLA's alternate-memory coloring budget (~6-8 MB of
+    operands+results per call on v5e)."""
+    H, nBq, W, bsub, cin = x.shape
+    assert bsub == BSUB and Bc % BSUB == 0
+    Bq = Bc // BSUB
+    width = fw["w1"].shape[1]
+    cout = fw["w3"].shape[1]
+    nb = fw["w2"].shape[1]
+    has_ds = "wd" in fw
+    Ho, Wo = H // stride, W // stride
+
+    if hh is None:
+        # bound main-tile bytes to ~3.2 MB for the coloring budget
+        row_bytes = Bq * W * BSUB * cin * 2
+        cap = max(1, (3_300_000 // row_bytes) // stride)
+        hh = next((h for h in range(min(Ho, cap), 0, -1) if Ho % h == 0), 1)
+    if R is None:
+        R = next(r for r in (7, 5, 4, 3, 2, 1) if hh % r == 0)
+    assert Ho % hh == 0 and hh % R == 0 and nBq % Bq == 0
+    hin = stride * hh
+    n_h = Ho // hh
+    n_b = nBq // Bq
+
+    wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+    bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
+    Wp = W + 2 if stride == 1 else W + 4
+
+    kernel = functools.partial(
+        _kernel, stride=stride, has_ds=has_ds, hh=hh, R=R, W=W, Bq=Bq,
+        n_h_static=n_h)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scoped = (((hin + 2) * Bq * Wp * BSUB * width
+               + R * Bq * Wo * BSUB * width) * 2
+              + R * Bq * Wo * BSUB * max(width, cout) * 12 + (1 << 21))
+
+    def tile_call(ih, lo, main, hi):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [vspec] * 11,
+            out_specs=vspec,
+            out_shape=jax.ShapeDtypeStruct((hh, Bq, Wo, BSUB, cout),
+                                           x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((hin + 2, Bq, Wp, BSUB, width), x.dtype),
+                pltpu.VMEM((R, Bq, Wo, BSUB, width), x.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(int(scoped), VMEM_LIMIT)),
+            interpret=_interpret(),
+        )(ih, lo, main, hi, fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
+          fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
+          wd, bd.reshape(1, -1))
+
+    def vmem(a):
+        if _interpret():
+            return a
+        return pltpu.with_memory_space_constraint(a, pltpu.VMEM)
+
+    def body(out, idx):
+        ib = idx // n_h
+        ih = idx % n_h
+        start = ih * hin
+        bq0 = ib * Bq
+
+        def rows(r0, n):
+            sl = jax.lax.dynamic_slice(
+                x, (r0, bq0, 0, 0, 0), (n, Bq, W, BSUB, cin))
+            return vmem(sl)
+
+        lo = rows(jnp.maximum(start - 1, 0), 1)
+        main = rows(start, hin)
+        hi = rows(jnp.minimum(start + hin, H - 1), 1)
+        yt = tile_call(jnp.asarray(ih, jnp.int32).reshape(1), lo, main, hi)
+        out = jax.lax.dynamic_update_slice(out, yt, (ih * hh, bq0, 0, 0, 0))
+        return out, None
+
+    out0 = jnp.zeros((Ho, nBq, Wo, BSUB, cout), x.dtype)
+    # unroll: XLA's async copy-start/copy-done for tile i+1 can then
+    # overlap tile i's kernel (iterations only chain through the cheap
+    # output-update slices)
+    out, _ = jax.lax.scan(body, out0, jnp.arange(n_b * n_h), unroll=4)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (
-    fused_bottleneck_hwbc, to_hwbc)
+    fused_bottleneck_hwbc, fused_bottleneck_tiles, to_hwbc)
 
 B = 256
 DT = jnp.bfloat16
@@ -53,7 +53,7 @@ _WARMED = False
 
 
 def time_block(x, fw, stride, Bc, hh, R, parts="all", conv3="scratch",
-               iters=3, inner=10):
+               mode="grid", iters=3, inner=10):
     global _WARMED
 
     @jax.jit
@@ -61,9 +61,13 @@ def time_block(x, fw, stride, Bc, hh, R, parts="all", conv3="scratch",
         def body(c, _):
             fw2 = dict(fw)
             fw2["w1"] = (fw["w1"].astype(jnp.float32) + c).astype(DT)
-            y = fused_bottleneck_hwbc(x, fw2, stride=stride, Bc=Bc,
-                                      hh=hh, R=R, parts=parts,
-                                      conv3_mode=conv3)
+            if mode == "tiles":
+                y = fused_bottleneck_tiles(x, fw2, stride=stride, Bc=Bc,
+                                           hh=hh, R=R)
+            else:
+                y = fused_bottleneck_hwbc(x, fw2, stride=stride, Bc=Bc,
+                                          hh=hh, R=R, parts=parts,
+                                          conv3_mode=conv3)
             out = jnp.sum(y.astype(jnp.float32))
             return out * 0.0, out
         _, outs = jax.lax.scan(body, jnp.float32(0), None, length=inner)
@@ -92,6 +96,7 @@ def main():
     ap.add_argument("--parts", type=str, default="all")
     ap.add_argument("--conv3", type=str, default="scratch")
     ap.add_argument("--halo-copy", action="store_true")
+    ap.add_argument("--mode", type=str, default="grid")
     args = ap.parse_args()
 
     if args.block.startswith("bstage"):
@@ -131,10 +136,10 @@ def main():
                             try:
                                 dt = time_block(x, fw, stride, Bc,
                                                 hh or None, R or None,
-                                                parts, c3)
+                                                parts, c3, args.mode)
                                 print(f"{name}: Bc={Bc} hh={hh or 'auto'} "
                                       f"R={R or 'auto'} parts={parts} "
-                                      f"conv3={c3}: "
+                                      f"conv3={c3} mode={args.mode}: "
                                       f"{dt*1e3:6.3f} ms", flush=True)
                             except Exception as e:
                                 print(f"{name}: Bc={Bc} hh={hh} R={R} "

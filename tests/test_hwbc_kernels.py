@@ -67,6 +67,17 @@ def test_fused_block(stride, has_ds, H, cin, width, cout, hh, R):
     assert rel_err(got, want) < RTOL
 
 
+def test_fused_block_tiles_mode():
+    """XLA-fed tile execution matches the grid kernel's oracle."""
+    from multimodal_baby_tpu.ops.bottleneck_hwbc import (
+        fused_bottleneck_tiles)
+    rng = np.random.RandomState(7)
+    fw = mk_fw(rng, 128, 256, 512, True)
+    x = to_hwbc(jnp.asarray(rng.randn(32, 16, 16, 128).astype(np.float32)))
+    got = fused_bottleneck_tiles(x, fw, stride=2, Bc=16, hh=2, R=2)
+    assert rel_err(got, hwbc_reference(x, fw, stride=2)) < RTOL
+
+
 def test_fused_block_conv3_accum():
     rng = np.random.RandomState(2)
     fw = mk_fw(rng, 128, 256, 256, True)
