@@ -524,15 +524,22 @@ def _stage_kernel(*refs, strides, has_dss, hh_out, W0, Bq, n_blocks,
 
         for k0 in range(0, Ho, R):
             m = R * Bq * Wo * BSUB
-            for b in range(nb):
-                h2b = jnp.dot(tap_slice(k0, b, 0), w2[0, b],
-                              preferred_element_type=jnp.float32)
+            # channel blocks processed as independent twin chains: the
+            # f32 accumulate (VPU) of one chain can overlap the next dot
+            # (MXU) of the other — a single chain ping-pongs the units
+            for b0 in range(0, nb, 2):
+                pair = [b for b in (b0, b0 + 1) if b < nb]
+                accs = [jnp.dot(tap_slice(k0, b, 0), w2[0, b],
+                                preferred_element_type=jnp.float32)
+                        for b in pair]
                 for t in range(1, 9):
-                    h2b = h2b + jnp.dot(tap_slice(k0, b, t), w2[t, b],
-                                        preferred_element_type=jnp.float32)
-                h2b = jnp.maximum(h2b + b2[0, b * BS:(b + 1) * BS], 0.0)
-                h2_scr[0:R, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
-                    h2b.astype(dt).reshape(R, Bq, Wo, BSUB, BS)
+                    accs = [acc + jnp.dot(tap_slice(k0, b, t), w2[t, b],
+                                          preferred_element_type=jnp.float32)
+                            for acc, b in zip(accs, pair)]
+                for acc, b in zip(accs, pair):
+                    h2b = jnp.maximum(acc + b2[0, b * BS:(b + 1) * BS], 0.0)
+                    h2_scr[0:R, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
+                        h2b.astype(dt).reshape(R, Bq, Wo, BSUB, BS)
 
             y = jnp.dot(h2_scr[0:R, :, 0:Wo].reshape(m, width), w3[:],
                         preferred_element_type=jnp.float32) + b3[0]
