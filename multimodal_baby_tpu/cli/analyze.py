@@ -123,6 +123,21 @@ def _descriptives(args):
         pass  # frame filenames without embedded dates
 
 
+def _figures(args):
+    from multimodal_baby_tpu.analysis.figures import render_all
+    utterances = None
+    if args.metadata:
+        with open(args.metadata) as f:
+            payload = json.load(f)
+        data = payload.get("data", payload)
+        utterances = [r.get("utterance", "") for r in data]
+    written = render_all(args.summary_csv, args.out_dir,
+                         utterances=utterances)
+    for p in written:
+        print(p)
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -150,6 +165,15 @@ def main(argv=None):
     p.add_argument("--data_dir", default="data")
     p.add_argument("--out_csv", default=None)
     p.set_defaults(fn=_descriptives)
+
+    p = sub.add_parser(
+        "figures",
+        help="paper figures from a summary CSV (figures.R equivalent)")
+    p.add_argument("--summary_csv", required=True)
+    p.add_argument("--out_dir", default="results/figures")
+    p.add_argument("--metadata", default=None,
+                   help="train metadata JSON for the corpus panel")
+    p.set_defaults(fn=_figures)
 
     args = parser.parse_args(argv)
     return args.fn(args)

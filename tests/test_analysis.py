@@ -414,3 +414,35 @@ def test_sentence_batches_and_transformer_summary(tmp_path):
     assert (tmp_path / "summary/saycam-transformer-summary.csv").exists()
     assert set(df["config"]) == {"contrastive_transformer_embedding"}
     assert (df["filtered"] == False).all()  # noqa: E712
+
+
+def test_paper_figures(tmp_path):
+    """figures.R-equivalent renderer: every panel from a synthetic summary
+    CSV (same schema as analysis/summaries.py output)."""
+    import numpy as np
+    import pandas as pd
+    from multimodal_baby_tpu.analysis.figures import render_all
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for config in ("contrastive", "shuffled"):
+        for seed in (0, 1):
+            for cat in ("ball", "cat", "car"):
+                for t in range(20):
+                    rows.append({
+                        "config": config, "seed": seed,
+                        "target_category": cat,
+                        "correct": int(rng.rand() < (0.6 if config ==
+                                                     "contrastive" else .25)),
+                        "filtered": t % 2 == 0,
+                    })
+    df = pd.DataFrame(rows)
+    csv = tmp_path / "summary.csv"
+    df.to_csv(csv, index=False)
+    written = render_all(csv, tmp_path / "figs",
+                         utterances=["the red ball", "a cat", "look a car"])
+    names = {p.name for p in written}
+    assert {"eval_accuracy.png", "config_comparison.png",
+            "seed_consistency.png", "corpus_descriptives.png"} <= names
+    for p in written:
+        assert p.exists() and p.stat().st_size > 1000
