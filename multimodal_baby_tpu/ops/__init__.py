@@ -1,2 +1,5 @@
+from multimodal_baby_tpu.ops.bottleneck_hwbc import (
+    from_hwbc, fused_bottleneck_hwbc, fused_bottleneck_tiles,
+    fused_stage_banded, fused_stage_hwbc, to_hwbc)
 from multimodal_baby_tpu.ops.infonce import fused_infonce, infonce_loss
 from multimodal_baby_tpu.ops.lstm import lstm_fused
