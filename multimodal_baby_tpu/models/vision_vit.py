@@ -40,9 +40,11 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
+        import os
         from multimodal_baby_tpu.ops.attention import (
             fused_attention, should_fuse_attention)
         if not return_attention and jax.devices()[0].platform == "tpu" \
+                and os.environ.get("MMB_FUSED_ATTN", "1") == "1" \
                 and should_fuse_attention(N, head_dim):
             # Pallas kernel: scores never leave VMEM (ops/attention.py)
             def heads_first(t):
@@ -134,8 +136,15 @@ class VisionTransformerDino(nn.Module):
         patches = self.patch_proj(x).reshape(B, -1, self.embed_dim)
         cls = jnp.broadcast_to(self.cls_token, (B, 1, self.embed_dim))
         tokens = jnp.concatenate([cls, patches], axis=1)
-        return tokens + self._interpolate_pos_encoding(
+        tokens = tokens + self._interpolate_pos_encoding(
             patches.shape[1], H, W)
+        # cls/pos_embed are f32 params: without this cast the residual
+        # stream — and with it every LayerNorm and matmul operand — is
+        # silently promoted to f32 for all 12 blocks (measured 89 ms of
+        # f32 matmul fusions + 38 GB of layout copies per step at B=256)
+        if self.dtype is not None:
+            tokens = tokens.astype(self.dtype)
+        return tokens
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """Returns the CLS feature [B, E] after the final norm

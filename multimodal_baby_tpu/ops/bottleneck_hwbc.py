@@ -468,7 +468,7 @@ def fused_bottleneck_tiles(
 # whole-stage kernel (full spatial extent resident in VMEM per batch tile)
 # ---------------------------------------------------------------------------
 
-def _stage_kernel(*refs, strides, has_dss, hh_out, W0, Bq, n_blocks,
+def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
                   width, cout):
     """refs: x, then 8 weight refs per block (w1,b1,w2,b2,w3,b3,wd,bd),
     then out_ref, then scratches (h1pad, tA, tB, h2_scr).
@@ -618,7 +618,7 @@ def fused_stage_hwbc(
 
     kernel = functools.partial(
         _stage_kernel, strides=tuple(strides), has_dss=tuple(has_dss),
-        hh_out=Ho, W0=W, Bq=Bq, n_blocks=n_blocks, width=width, cout=cout)
+        W0=W, Bq=Bq, n_blocks=n_blocks, width=width, cout=cout)
 
     flops_img = 0
     hj, wj, cj = H, W, cin0

@@ -63,7 +63,7 @@ def main():
     optimizer = build_optimizer(cfg, tp)
     opt_state = optimizer.init(tp)
 
-    def one_step(carry, key):
+    def one_step(frozen_flat, carry, key):
         tp, opt_state = carry
         imgs = augment_batch(key, batch["image_u8"], augment=True,
                              dtype=jnp.bfloat16)
@@ -84,21 +84,21 @@ def main():
         return (optax.apply_updates(tp, updates), new_opt), loss
 
     @jax.jit
-    def run10(tp, opt_state, key):
+    def run10(tp, frozen_flat, opt_state, key):
         keys = jax.random.split(key, 10)
         (tp, opt_state), losses = jax.lax.scan(
-            one_step, (tp, opt_state), keys)
+            lambda c, k: one_step(frozen_flat, c, k), (tp, opt_state), keys)
         return tp, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(42)
     for _ in range(2):
         key, k = jax.random.split(key)
-        tp, opt_state, loss = run10(tp, opt_state, k)
+        tp, opt_state, loss = run10(tp, frozen_flat, opt_state, k)
     _ = float(loss)
     t0 = time.perf_counter()
     for _ in range(5):
         key, k = jax.random.split(key)
-        tp, opt_state, loss = run10(tp, opt_state, k)
+        tp, opt_state, loss = run10(tp, frozen_flat, opt_state, k)
     _ = float(loss)
     dt = time.perf_counter() - t0
     pairs = BATCH * 10 * 5 / dt
