@@ -43,8 +43,13 @@ class ViTAttention(nn.Module):
         import os
         from multimodal_baby_tpu.ops.attention import (
             fused_attention, should_fuse_attention)
+        # default OFF for the ViT: the kernel wins in isolation (-30% on
+        # the attention op) but its operand layout constraints force
+        # reshape/transpose copies through every block in the full step
+        # (measured 1461 vs 1559 pairs/s end-to-end at B=256) — see
+        # BENCH_NOTES.md. MMB_FUSED_ATTN=1 re-enables.
         if not return_attention and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "1") == "1" \
+                and os.environ.get("MMB_FUSED_ATTN", "0") == "1" \
                 and should_fuse_attention(N, head_dim):
             # Pallas kernel: scores never leave VMEM (ops/attention.py)
             def heads_first(t):
