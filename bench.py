@@ -9,8 +9,16 @@ the FULL training pipeline from raw uint8 frames:
   -> bf16 ResNeXt-50 forward -> text encode -> global-batch InfoNCE
   -> backward through the trainable heads -> AdamW update
 
-K steps are folded into one jit (lax.scan) so the tunneled-TPU dispatch
-latency doesn't pollute the measurement; timing uses block_until_ready.
+Default mode: K steps folded into one jit (lax.scan) over a resident
+device batch, so the tunneled-TPU dispatch latency doesn't pollute the
+measurement; timing uses block_until_ready.
+
+--real_io: full host path — a synthetic on-disk JPEG dataset (generated
+once, cached) streamed through DataLoader (native C++ batch decode +
+tokenize + collate), host->device transfer, one train step per batch,
+async dispatch pipelining. This is the number comparable to the
+reference's wall-clock, which includes its PIL worker pipeline
+(multimodal_saycam_data_module.py:93-124).
 
 Baseline: the reference (PyTorch Lightning, PIL host pipeline) has no
 published throughput (BASELINE.md). BASELINE.json's target is >=5x an A100
@@ -19,6 +27,7 @@ pairs/s/chip (frozen ResNeXt-50 fwd at TF32, generous to the reference),
 so vs_baseline = value / 2500 and the target is vs_baseline >= 5.
 """
 
+import argparse
 import json
 import os
 import time
@@ -42,16 +51,19 @@ from multimodal_baby_tpu.train import build_optimizer
 
 A100_BASELINE_PAIRS_PER_SEC = 2500.0
 
-# throughput operating point: B=1024 amortizes the step's fixed costs
-# best (measured 256 -> 9824, 512 -> 9936, 1024 -> 10071 pairs/s/chip;
-# 2048 exceeds the compile-tunnel payload limit). Per-image trunk work is
-# batch-invariant; training at the reference's small-batch recipe is the
-# per-shard-negatives mode, not this benchmark's concern.
+# throughput operating point: large B amortizes the step's fixed costs
+# (measured 256 -> 9824, 512 -> 9936, 1024 -> 10071 pairs/s/chip in round
+# 2). Per-image trunk work is batch-invariant; training at the reference's
+# small-batch recipe is the per-shard-negatives mode, not this benchmark's
+# concern.
 BATCH = int(os.environ.get("MMB_BENCH_BATCH", "1024"))
 STEPS_PER_CALL = 10
 WARMUP_CALLS = 2
 TIMED_CALLS = 5
 VOCAB = 2350
+
+JPEG_DIR = os.environ.get("MMB_BENCH_JPEG_DIR", "/tmp/mmb_bench_jpegs")
+N_JPEGS = int(os.environ.get("MMB_BENCH_N_JPEGS", "8192"))
 
 
 def make_batch(rng, b):
@@ -69,7 +81,7 @@ def make_batch(rng, b):
     }
 
 
-def main():
+def build_flagship():
     cfg = ExperimentConfig(
         model=ModelConfig(
             embedding_dim=512, vocab_size=VOCAB, embedding_type="flat",
@@ -81,11 +93,10 @@ def main():
             text=TextConfig(text_encoder="embedding")),
         train=TrainConfig(optimizer="AdamW", lr=1e-4, weight_decay=0.1),
         parallel=ParallelConfig())
+    return cfg, CVCL(cfg.model, dtype=jnp.bfloat16)
 
-    model = CVCL(cfg.model, dtype=jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    batch = make_batch(rng, BATCH)
 
+def init_state(cfg, model, batch):
     init_img = augment_batch(jax.random.PRNGKey(0), batch["image_u8"],
                              augment=False)
     variables = model.init(
@@ -104,10 +115,13 @@ def main():
         {k: v for k, v in flat_p.items() if flat_m[k]})
     optimizer = build_optimizer(cfg, train_params)
     opt_state = optimizer.init(train_params)
+    return train_params, frozen_flat, batch_stats, opt_state, optimizer
 
-    def one_step(frozen_flat, carry, key):
+
+def make_one_step(model, optimizer):
+    def one_step(frozen_flat, carry, key, image_u8, text, text_len):
         tp, batch_stats, opt_state = carry
-        imgs = augment_batch(key, batch["image_u8"], augment=True,
+        imgs = augment_batch(key, image_u8, augment=True,
                              dtype=jnp.bfloat16)
 
         def loss_fn(tp):
@@ -115,7 +129,7 @@ def main():
                 {**frozen_flat, **traverse_util.flatten_dict(tp)})
             (lpi, lpt), upd = model.apply(
                 {"params": p, "batch_stats": batch_stats},
-                imgs, batch["text"], batch["text_len"], train=True,
+                imgs, text, text_len, train=True,
                 mutable=["batch_stats"])
             loss, _ = contrastive_loss_from_logits(lpi, lpt)
             return loss, upd["batch_stats"]
@@ -126,11 +140,24 @@ def main():
         new_tp = optax.apply_updates(tp, updates)
         return (new_tp, new_bs, new_opt), loss
 
+    return one_step
+
+
+def run_synthetic():
+    cfg, model = build_flagship()
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, BATCH)
+    train_params, frozen_flat, batch_stats, opt_state, optimizer = \
+        init_state(cfg, model, batch)
+    one_step = make_one_step(model, optimizer)
+
     @jax.jit
-    def run_k_steps(tp, frozen_flat, batch_stats, opt_state, key):
+    def run_k_steps(tp, frozen_flat, batch_stats, opt_state, key,
+                    image_u8, text, text_len):
         keys = jax.random.split(key, STEPS_PER_CALL)
         (tp, batch_stats, opt_state), losses = jax.lax.scan(
-            lambda c, k: one_step(frozen_flat, c, k),
+            lambda c, k: one_step(frozen_flat, c, k, image_u8, text,
+                                  text_len),
             (tp, batch_stats, opt_state), keys)
         return tp, batch_stats, opt_state, losses[-1]
 
@@ -138,24 +165,134 @@ def main():
     for i in range(WARMUP_CALLS):
         key, k = jax.random.split(key)
         train_params, batch_stats, opt_state, loss = run_k_steps(
-            train_params, frozen_flat, batch_stats, opt_state, k)
+            train_params, frozen_flat, batch_stats, opt_state, k,
+            batch["image_u8"], batch["text"], batch["text_len"])
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for i in range(TIMED_CALLS):
         key, k = jax.random.split(key)
         train_params, batch_stats, opt_state, loss = run_k_steps(
-            train_params, frozen_flat, batch_stats, opt_state, k)
+            train_params, frozen_flat, batch_stats, opt_state, k,
+            batch["image_u8"], batch["text"], batch["text_len"])
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    return BATCH * STEPS_PER_CALL * TIMED_CALLS / dt
 
-    n_pairs = BATCH * STEPS_PER_CALL * TIMED_CALLS
-    pairs_per_sec = n_pairs / dt
+
+# ---------------------------------------------------------------------------
+# --real_io: on-disk JPEGs -> DataLoader (native decode) -> H2D -> step
+# ---------------------------------------------------------------------------
+
+def ensure_jpeg_dataset(root=JPEG_DIR, n=N_JPEGS, src=256):
+    """Generate (once) a synthetic JPEG dataset + metadata/vocab in the
+    reference's prepared-data format. Images are low-frequency noise
+    (decode cost comparable to natural frames, unlike white noise)."""
+    from PIL import Image
+    root = os.path.abspath(root)
+    meta_path = os.path.join(root, "metadata.json")
+    done = os.path.join(root, ".complete")
+    if os.path.exists(done):
+        return meta_path
+    os.makedirs(os.path.join(root, "frames"), exist_ok=True)
+    rng = np.random.RandomState(0)
+    records = []
+    for i in range(n):
+        low = rng.randint(0, 256, (16, 16, 3), np.uint8)
+        img = np.asarray(
+            Image.fromarray(low).resize((src, src), Image.BILINEAR))
+        img = np.clip(
+            img.astype(np.int16)
+            + rng.randint(-12, 13, img.shape, np.int16),
+            0, 255).astype(np.uint8)
+        path = os.path.join(root, "frames", f"frame_{i:05d}.jpg")
+        Image.fromarray(img).save(path, quality=90)
+        n_words = int(rng.randint(2, 12))
+        utterance = " ".join(
+            f"w{rng.randint(0, 2000):04d}" for _ in range(n_words))
+        records.append({"utterance": utterance, "frame_filename": path})
+    with open(meta_path, "w") as f:
+        json.dump({"data": records}, f)
+    with open(done, "w") as f:
+        f.write("ok")
+    return meta_path
+
+
+def run_real_io():
+    from multimodal_baby_tpu.data.datasets import (
+        PairedImageTextDataset, load_metadata)
+    from multimodal_baby_tpu.data.loader import DataLoader
+    from multimodal_baby_tpu.data.vocab import Vocab
+
+    meta_path = ensure_jpeg_dataset()
+    data = load_metadata(meta_path)
+    vocab = Vocab.build([d["utterance"] for d in data], min_freq=1)
+    dataset = PairedImageTextDataset(data, vocab)
+    loader = DataLoader(dataset, batch_size=BATCH, shuffle=True,
+                        drop_last=True, num_workers=4, prefetch=6)
+
+    cfg, model = build_flagship()
+    first = next(iter(loader))
+    batch0 = {"image_u8": jnp.asarray(first["image_u8"]),
+              "text": jnp.asarray(first["text"]),
+              "text_len": jnp.asarray(first["text_len"])}
+    train_params, frozen_flat, batch_stats, opt_state, optimizer = \
+        init_state(cfg, model, batch0)
+    one_step = make_one_step(model, optimizer)
+
+    @jax.jit
+    def step(tp, frozen_flat, batch_stats, opt_state, key,
+             image_u8, text, text_len):
+        carry, loss = one_step(frozen_flat,
+                               (tp, batch_stats, opt_state), key,
+                               image_u8, text, text_len)
+        return carry + (loss,)
+
+    key = jax.random.PRNGKey(42)
+
+    def feed(n_batches, timed):
+        nonlocal train_params, batch_stats, opt_state, key
+        count = 0
+        t0 = time.perf_counter()
+        loss = None
+        it = iter(loader)
+        while count < n_batches:
+            try:
+                b = next(it)
+            except StopIteration:
+                it = iter(loader)
+                continue
+            key, k = jax.random.split(key)
+            # async dispatch: host decode of batch k+1 overlaps device
+            # step k (we never block inside the loop)
+            train_params, batch_stats, opt_state, loss = step(
+                train_params, frozen_flat, batch_stats, opt_state, k,
+                jnp.asarray(b["image_u8"]), jnp.asarray(b["text"]),
+                jnp.asarray(b["text_len"]))
+            count += 1
+        jax.block_until_ready(loss)
+        return count * BATCH / (time.perf_counter() - t0)
+
+    feed(4, timed=False)  # compile + warm caches
+    return feed(24, timed=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--real_io", action="store_true",
+                    help="measure the full host pipeline (on-disk JPEGs "
+                    "-> native decode -> H2D -> step)")
+    args = ap.parse_args()
+
+    pairs_per_sec = run_real_io() if args.real_io else run_synthetic()
     n_chips = max(1, len(jax.devices()))
     value = pairs_per_sec / n_chips
 
+    metric = "image-text pairs/sec/chip (train+encode)"
+    if args.real_io:
+        metric += " [real host I/O]"
     print(json.dumps({
-        "metric": "image-text pairs/sec/chip (train+encode)",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / A100_BASELINE_PAIRS_PER_SEC, 3),

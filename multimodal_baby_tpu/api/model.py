@@ -194,7 +194,9 @@ class CVCLModel:
                 text_encoder=text_arch,
                 captioning=bool(hparams.get("captioning", False)),
                 attention=bool(hparams.get("attention", False)),
-                crange=int(hparams.get("crange", 1))))
+                crange=int(hparams.get("crange", 1)),
+                pos_embed_type=hparams.get(
+                    "pos_embed_type", "no_pos_embed")))
 
         vocab = Vocab.load(vocab_path or PACKAGED_VOCAB)
         cfg.vocab_size = len(vocab)

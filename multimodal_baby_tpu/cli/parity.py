@@ -73,6 +73,10 @@ def main(argv=None) -> int:
     parser.add_argument("--eval_type", default="image",
                         choices=["image", "text"])
     parser.add_argument("--use_kitty_label", action="store_true")
+    parser.add_argument("--eval_include_sos_eos", action="store_true",
+                        help="wrap the trial label in <sos>/<eos> like the "
+                        "published recipes (runner_config/"
+                        "saycam_contrastive.py)")
     parser.add_argument("--reference_predictions", default=None)
     parser.add_argument("--gate", type=float, default=0.005)
     parser.add_argument("--output", default=None,
@@ -87,7 +91,9 @@ def main(argv=None) -> int:
 
     model, _ = load_model(args.checkpoint)
     trials = load_metadata(Path(args.data_dir) / args.eval_metadata)
-    dataset = EvalTrialDataset(trials, model.vocab)
+    dataset = EvalTrialDataset(
+        trials, model.vocab,
+        eval_include_sos_eos=args.eval_include_sos_eos)
     accs, records = run_forced_choice(
         model.model, model.variables, dataset, args.eval_type,
         use_kitty_label=args.use_kitty_label, vocab=model.vocab)

@@ -98,6 +98,31 @@ class PairedImageTextDataset:
         ids, length = self.tokenizer.encode_utterance(utterance)
         return img, ids, length, utterance
 
+    def batch_items(self, idxs) -> Dict[str, np.ndarray]:
+        """Whole-batch fast path used by DataLoader: decodes every frame
+        of the batch in ONE native decode_batch call (C++ thread pool, no
+        GIL) and tokenizes in a tight loop. Returns the collated batch
+        dict directly. Falls back to per-item loading when the native
+        library isn't built."""
+        from multimodal_baby_tpu.data import native
+        paths = [self.frame_filename(self.data[int(j)]) for j in idxs]
+        imgs = native.decode_batch(paths, IMAGE_H)
+        if imgs is None:
+            from multimodal_baby_tpu.data.loader import collate
+            return collate([self[int(j)] for j in idxs])
+        n = len(idxs)
+        text = np.empty((n, self.max_len), np.int32)
+        lens = np.empty((n,), np.int32)
+        raws = []
+        for i, j in enumerate(idxs):
+            utterance = self.data[self.utterance_order[int(j)]]["utterance"]
+            ids, length = self.tokenizer.encode_utterance(utterance)
+            text[i] = ids
+            lens[i] = length
+            raws.append(utterance)
+        return {"image_u8": imgs, "text": text, "text_len": lens,
+                "raw": raws}
+
 
 class SyntheticPairedDataset:
     """Deterministic synthetic pairs for benchmarks / smoke tests: no disk,

@@ -69,11 +69,19 @@ class DataLoader:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        batch_items = getattr(self.dataset, "batch_items", None)
+
         def make(idxs):
+            # batched fast path: one native decode_batch call per batch
+            # (the ctypes call releases the GIL; the C++ thread pool does
+            # the decode) instead of GIL-bound per-item __getitem__
+            if batch_items is not None:
+                return batch_items(idxs)
             return collate([self.dataset[int(j)] for j in idxs])
 
         it = self._batch_indices()
-        with ThreadPoolExecutor(self.num_workers) as ex:
+        ex = ThreadPoolExecutor(self.num_workers)
+        try:
             in_flight: deque = deque()
             for idxs in it:
                 in_flight.append(ex.submit(make, idxs))
@@ -85,3 +93,7 @@ class DataLoader:
                 if nxt is not None:
                     in_flight.append(ex.submit(make, nxt))
                 yield batch
+        finally:
+            # don't block on prefetched work when the consumer abandons
+            # the iterator mid-epoch
+            ex.shutdown(wait=False, cancel_futures=True)

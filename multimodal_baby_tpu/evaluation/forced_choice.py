@@ -83,6 +83,14 @@ def run_forced_choice(
                 np.stack([it[0] for it in items])))          # [n, K, H, W, 3]
             labels = np.stack([it[1] for it in items])[:, None, :]  # [n,1,L]
             lens = np.asarray([it[2] for it in items])[:, None]
+            # score at the true label length, not the padded window: the
+            # reference eval feeds exact-length labels (LabeledSEvalDataset
+            # returns len 1 or 3, multimodal_data_module.py:145-150), and
+            # the transformer encoder is NOT padding-invariant (padded
+            # query positions contribute to its mean-pool,
+            # multimodal.py:571-573) — scoring padded-to-25 labels would
+            # silently change transformer-model results
+            labels = labels[..., :max(1, int(lens.max()))]
             if use_kitty_label and vocab is not None:
                 labels = labels.copy()
                 for j, c in enumerate(cats):
@@ -95,6 +103,7 @@ def run_forced_choice(
                 np.stack([it[0] for it in items])))[:, None]  # [n,1,H,W,3]
             labels = np.stack([it[1] for it in items])        # [n, K, L]
             lens = np.stack([it[2] for it in items])          # [n, K]
+            labels = labels[..., :max(1, int(lens.max()))]  # see image mode
             if use_kitty_label and vocab is not None:
                 labels = labels.copy()
                 for j, c in enumerate(cats):

@@ -239,7 +239,16 @@ class ResNeXt50(nn.Module):
 
     ``dtype`` is the compute dtype: params stay f32, convs/BN run in bf16 on
     the train hot path (MXU-native); None = full f32 (parity/eval mode).
-    ``dense_groups`` (frozen trunks only) see BottleneckX."""
+    ``dense_groups`` (frozen trunks only) see BottleneckX.
+
+    Gradient caveat: when the fused Pallas trunk is active (frozen bf16 TPU
+    path) the trunk input is wrapped in stop_gradient, so gradients w.r.t.
+    the *image* are zero — by design, since nothing on the hot path
+    differentiates through a frozen trunk. Saliency-style analyses that
+    need image gradients should either run the conv path
+    (MMB_FUSED_TRUNK=0 / f32 dtype) or go through
+    ops.bottleneck_hwbc.fused_bottleneck_hwbc_diff; in-repo grad-CAM
+    differentiates w.r.t. the feature_map output, which is unaffected."""
 
     dtype: Any = None
     # per-stage dense-ification of the grouped 3x3 convs (see BottleneckX):
@@ -255,10 +264,27 @@ class ResNeXt50(nn.Module):
     fused_trunk: bool = True
 
     def _use_fused(self, ura: bool) -> bool:
+        # semantic preconditions: the fused trunk folds running-average BN
+        # into the weights and stop_gradients the whole trunk, so it is
+        # only equivalent to the conv path for frozen trunks in
+        # inference-BN mode. The env override can force the choice only
+        # when those hold — otherwise MMB_FUSED_TRUNK=1 would silently
+        # change BN semantics (batch -> folded running stats) and zero the
+        # trunk gradients.
+        ok = ura and self.dtype == jnp.bfloat16
         env = os.environ.get("MMB_FUSED_TRUNK")
         if env is not None:
-            return env == "1"
-        return (self.fused_trunk and ura and self.dtype == jnp.bfloat16
+            force = env == "1"
+            if force and not ok:
+                raise ValueError(
+                    "MMB_FUSED_TRUNK=1 requires a frozen trunk in "
+                    "inference-BN mode with bf16 compute (got "
+                    f"use_running_average={ura}, dtype={self.dtype}); the "
+                    "fused trunk folds running BN stats and stops trunk "
+                    "gradients, which would silently change training "
+                    "semantics here.")
+            return force
+        return (self.fused_trunk and ok
                 and jax.devices()[0].platform == "tpu")
 
     def _dense_stage(self, stage_idx: int):
@@ -317,7 +343,8 @@ class ResNeXt50(nn.Module):
     # Override with MMB_TRUNK_PLAN="banded14,blocks,split,full"-style.
     # Default = measured-best on v5e at B=256 (bench A/B, BENCH_NOTES.md):
     # per-block kernels for the large-spatial stages, stride-2 head block
-    # + whole-stage-in-VMEM tail for layers 3/4.
+    # + whole-stage-in-VMEM tail for layer 3, the whole of layer 4 (head
+    # included) in one in-VMEM call.
     fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "full")
 
     def _fused_stages(self, y: jax.Array) -> Dict[str, jax.Array]:
@@ -330,6 +357,10 @@ class ResNeXt50(nn.Module):
             fused_stage_hwbc, to_hwbc)
         env = os.environ.get("MMB_TRUNK_PLAN")
         plan = tuple(env.split(",")) if env else self.fused_plan
+        if len(plan) != len(RESNEXT50_STAGES):
+            raise ValueError(
+                f"MMB_TRUNK_PLAN needs {len(RESNEXT50_STAGES)} comma-"
+                f"separated entries (one per stage), got {plan!r}")
         # the fused path only activates for frozen trunks (running BN), so
         # cut the AD path here: no trunk backward is ever built, and the
         # Pallas forwards are never differentiated.

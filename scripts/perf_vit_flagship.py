@@ -2,8 +2,10 @@
 transformer text encoder, learned pos-embed — the published 55.5% config,
 configs/saycam_contrastive_transformer.py) measured the same way as
 bench.py: full train step from raw uint8 frames at B=256 bf16, 10 steps
-per jit, value-fetch timing. The ViT path runs the fused Pallas attention
-kernel (ops/attention.py, auto-dispatch)."""
+per jit, value-fetch timing. Attention runs the XLA softmax path by
+default (measured faster end-to-end than the fused Pallas kernel, whose
+operand layouts force per-block reshape/transpose copies — BENCH_NOTES);
+set MMB_FUSED_ATTN=1 to A/B the Pallas kernel."""
 import json
 import time
 

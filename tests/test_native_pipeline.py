@@ -78,3 +78,26 @@ def test_batch_throughput_beats_sequential_pil(images):
     # multi-threaded native should beat sequential PIL; allow headroom for
     # loaded CI machines (the win is ~4-8x when quiet)
     assert t_native < t_pil * 1.5, (t_native, t_pil)
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_dataset_batch_items_matches_per_item(images, tmp_path):
+    """DataLoader's whole-batch fast path (one native decode_batch call)
+    must produce the same collated batch as per-item __getitem__."""
+    from multimodal_baby_tpu.data.datasets import PairedImageTextDataset
+    from multimodal_baby_tpu.data.loader import collate
+    from multimodal_baby_tpu.data.vocab import Vocab
+
+    path, _ = images["jpg"]
+    utterances = ["look at the ball", "the ball", "look look ball at"]
+    vocab = Vocab.build(utterances, min_freq=1)
+    data = [{"utterance": u, "frame_filename": path} for u in utterances]
+    ds = PairedImageTextDataset(data, vocab)
+
+    idxs = np.asarray([2, 0, 1])
+    fast = ds.batch_items(idxs)
+    slow = collate([ds[int(j)] for j in idxs])
+    np.testing.assert_array_equal(fast["image_u8"], slow["image_u8"])
+    np.testing.assert_array_equal(fast["text"], slow["text"])
+    np.testing.assert_array_equal(fast["text_len"], slow["text_len"])
+    assert fast["raw"] == slow["raw"]
