@@ -101,8 +101,16 @@ def init_state(cfg, model, batch):
                              augment=False)
     variables = model.init(
         jax.random.PRNGKey(0), init_img, batch["text"], batch["text_len"])
+    if "quant_scales" in variables:
+        # int8 trunk enabled: calibrate activation ranges on a sample
+        # batch (one-time setup cost, like model init — excluded from
+        # the timed region)
+        from multimodal_baby_tpu.models.quant_calib import calibrate_cvcl
+        variables = calibrate_cvcl(variables, init_img[:32])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    extra_cols = {k: variables[k] for k in ("quant_scales",)
+                  if k in variables}
 
     # the backbone is frozen: carry only trainable params through the
     # scan so the frozen subtree (and its fused-trunk weight folding) is
@@ -115,10 +123,13 @@ def init_state(cfg, model, batch):
         {k: v for k, v in flat_p.items() if flat_m[k]})
     optimizer = build_optimizer(cfg, train_params)
     opt_state = optimizer.init(train_params)
-    return train_params, frozen_flat, batch_stats, opt_state, optimizer
+    return (train_params, frozen_flat, batch_stats, opt_state, optimizer,
+            extra_cols)
 
 
-def make_one_step(model, optimizer):
+def make_one_step(model, optimizer, extra_cols=None):
+    extra_cols = extra_cols or {}
+
     def one_step(frozen_flat, carry, key, image_u8, text, text_len):
         tp, batch_stats, opt_state = carry
         imgs = augment_batch(key, image_u8, augment=True,
@@ -128,7 +139,7 @@ def make_one_step(model, optimizer):
             p = traverse_util.unflatten_dict(
                 {**frozen_flat, **traverse_util.flatten_dict(tp)})
             (lpi, lpt), upd = model.apply(
-                {"params": p, "batch_stats": batch_stats},
+                {"params": p, "batch_stats": batch_stats, **extra_cols},
                 imgs, text, text_len, train=True,
                 mutable=["batch_stats"])
             loss, _ = contrastive_loss_from_logits(lpi, lpt)
@@ -147,9 +158,9 @@ def run_synthetic():
     cfg, model = build_flagship()
     rng = np.random.RandomState(0)
     batch = make_batch(rng, BATCH)
-    train_params, frozen_flat, batch_stats, opt_state, optimizer = \
-        init_state(cfg, model, batch)
-    one_step = make_one_step(model, optimizer)
+    (train_params, frozen_flat, batch_stats, opt_state, optimizer,
+     extra_cols) = init_state(cfg, model, batch)
+    one_step = make_one_step(model, optimizer, extra_cols)
 
     @jax.jit
     def run_k_steps(tp, frozen_flat, batch_stats, opt_state, key,
@@ -236,9 +247,9 @@ def run_real_io():
     batch0 = {"image_u8": jnp.asarray(first["image_u8"]),
               "text": jnp.asarray(first["text"]),
               "text_len": jnp.asarray(first["text_len"])}
-    train_params, frozen_flat, batch_stats, opt_state, optimizer = \
-        init_state(cfg, model, batch0)
-    one_step = make_one_step(model, optimizer)
+    (train_params, frozen_flat, batch_stats, opt_state, optimizer,
+     extra_cols) = init_state(cfg, model, batch0)
+    one_step = make_one_step(model, optimizer, extra_cols)
 
     @jax.jit
     def step(tp, frozen_flat, batch_stats, opt_state, key,

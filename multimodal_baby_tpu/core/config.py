@@ -44,6 +44,12 @@ class VisionConfig:
     # faster on TPU (no stat reductions) and the more principled choice for
     # a frozen trunk. Eval always uses running averages.
     frozen_bn: str = "batch"
+    # int8-quantized fused trunk (TPU, frozen trunks only): int8 runs the
+    # MXU at 2x the bf16 rate and halves trunk HBM traffic (ops/quant.py).
+    # Requires calibration for best fidelity (models/quant_calib.py);
+    # off by default — enable explicitly or via MMB_TRUNK_INT8=1 after
+    # checking feature parity for your checkpoint.
+    trunk_int8: bool = False
 
     @property
     def backbone(self) -> str:

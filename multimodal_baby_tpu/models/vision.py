@@ -59,7 +59,8 @@ class VisionEncoder(nn.Module):
             # only when the trunk is frozen (see BottleneckX docstring)
             self.backbone = ResNeXt50(
                 name="backbone", dtype=self.dtype,
-                dense_groups=not v.finetune_cnn)
+                dense_groups=not v.finetune_cnn,
+                trunk_int8=v.trunk_int8)
 
         if self.cfg.embedding_type == "flat":
             self.head = TorchLinear(self.last_out_dim, self.cfg.embedding_dim)

@@ -60,6 +60,11 @@ class InferenceBN(nn.Module):
         mul = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
         return mul, self.bias - self.mean.value * mul
 
+    def raw(self) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+        """(params, stats) dicts for the fold_block_params* helpers."""
+        return ({"scale": self.scale, "bias": self.bias},
+                {"mean": self.mean.value, "var": self.var.value})
+
     def __call__(self, x: jax.Array) -> jax.Array:
         mul, add = self.fold()
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
@@ -101,8 +106,11 @@ class BottleneckX(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 fold_in_channels: int | None = None) -> Any:
+                 fold_in_channels: int | None = None,
+                 quant_in_amax: jax.Array | None = None) -> Any:
         if fold_in_channels is not None:
+            if quant_in_amax is not None:
+                return self._fold_q(fold_in_channels, quant_in_amax)
             return self._fold(fold_in_channels)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
@@ -188,6 +196,55 @@ class BottleneckX(nn.Module):
             fw["bd"] = addd
         return fw
 
+    def _fold_q(self, in_channels: int, in_amax: jax.Array):
+        """int8 fold: declare the same parameters as the conv path plus
+        per-block activation-range variables (collection "quant_scales",
+        0 = uncalibrated -> BN-derived bound, see ops/quant.resolve_amax),
+        and return (fw_q, out_amax) for ops/bottleneck_hwbc int8 kernels."""
+        from multimodal_baby_tpu.ops.quant import (
+            fold_block_params_q, resolve_amax)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * EXPANSION
+
+        params = {
+            "conv1": {"kernel": _GroupedKernel(
+                (1, 1, in_channels, width), name="conv1")()},
+            "conv2": {"kernel": _GroupedKernel(
+                (3, 3, width // self.groups, width), name="conv2")()},
+            "conv3": {"kernel": _GroupedKernel(
+                (1, 1, width, out_ch), name="conv3")()},
+        }
+        stats = {}
+        bns = {}
+        for name, c in (("bn1", width), ("bn2", width), ("bn3", out_ch)):
+            bns[name], stats[name] = InferenceBN(c, name=name).raw()
+            params[name] = bns[name]
+        if self.has_downsample:
+            params["downsample_conv"] = {"kernel": _GroupedKernel(
+                (1, 1, in_channels, out_ch), name="downsample_conv")()}
+            params["downsample_bn"], stats["downsample_bn"] = InferenceBN(
+                out_ch, name="downsample_bn").raw()
+
+        def amax_var(name, bn):
+            v = self.variable("quant_scales", name,
+                              lambda: jnp.zeros((), jnp.float32))
+            return resolve_amax(v.value, bn)
+
+        h1_amax = amax_var("h1_amax", bns["bn1"])
+        h2_amax = amax_var("h2_amax", bns["bn2"])
+        # residual sum bound: bn3 range + the incoming tensor's range
+        v_out = self.variable("quant_scales", "out_amax",
+                              lambda: jnp.zeros((), jnp.float32))
+        from multimodal_baby_tpu.ops.quant import bn_amax_bound
+        out_amax = jnp.where(v_out.value > 0, v_out.value,
+                             bn_amax_bound(bns["bn3"]) + in_amax)
+
+        fw = fold_block_params_q(
+            params, stats, in_amax=in_amax, h1_amax=h1_amax,
+            h2_amax=h2_amax, out_amax=out_amax, groups=self.groups)
+        fw = jax.tree.map(jax.lax.stop_gradient, fw)
+        return fw, jax.lax.stop_gradient(out_amax)
+
     def _packed_fgc(self) -> int:
         dg = self.dense_groups
         if dg is True:
@@ -262,6 +319,17 @@ class ResNeXt50(nn.Module):
     # the XLA lowering on layers 2-4 at B=256 (see BENCH_NOTES.md).
     # Override with MMB_FUSED_TRUNK=0/1.
     fused_trunk: bool = True
+    # int8-quantized fused trunk (see ops/quant.py): 2x MXU rate + half
+    # the trunk DMA traffic. Needs the fused-trunk preconditions plus
+    # B % 32 == 0; calibrate activation ranges with models/quant_calib.
+    # Override with MMB_TRUNK_INT8=0/1.
+    trunk_int8: bool = False
+
+    def _use_int8(self, ura: bool) -> bool:
+        env = os.environ.get("MMB_TRUNK_INT8")
+        if env is not None:
+            return env == "1"
+        return self.trunk_int8
 
     def _use_fused(self, ura: bool) -> bool:
         # semantic preconditions: the fused trunk folds running-average BN
@@ -303,16 +371,20 @@ class ResNeXt50(nn.Module):
             x = x.astype(dt)
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, name="conv1", dtype=dt)(x)
-        y = _bn("bn1", ura, dt, 64)(y)
+        bn1_mod = _bn("bn1", ura, dt, 64)
+        y = bn1_mod(y)
         y = nn.relu(y)
         # torch MaxPool2d(3, stride=2, padding=1); window-level padding
         # avoids materializing a padded copy of the 112x112 stem output
         y = nn.max_pool(y, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
 
-        # batch-in-sublanes layout needs B % 16 == 0; else fall back
+        # batch-in-sublanes layout needs B % 16 == 0 (32 for int8); else
+        # fall back
         if self._use_fused(ura) and y.shape[0] % 16 == 0:
-            return self._fused_stages(y)
+            quant = self._use_int8(ura) and y.shape[0] % 32 == 0
+            stem_bn = bn1_mod.raw()[0] if quant else None
+            return self._fused_stages(y, quant=quant, stem_bn=stem_bn)
 
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
@@ -347,11 +419,15 @@ class ResNeXt50(nn.Module):
     # included) in one in-VMEM call.
     fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "full")
 
-    def _fused_stages(self, y: jax.Array) -> Dict[str, jax.Array]:
+    def _fused_stages(self, y: jax.Array, quant: bool = False,
+                      stem_bn: Dict[str, jax.Array] | None = None
+                      ) -> Dict[str, jax.Array]:
         """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +
         feature map via fused kernels in the batch-in-sublanes layout.
         Declares the exact same parameters as the conv path (BottleneckX
-        fold mode), so checkpoints interchange."""
+        fold mode), so checkpoints interchange. ``quant`` runs the whole
+        trunk in int8 (batch lanes 32, activation ranges from the
+        "quant_scales" collection — see models/quant_calib.py)."""
         from multimodal_baby_tpu.ops.bottleneck_hwbc import (
             from_hwbc, fused_bottleneck_hwbc, fused_stage_banded,
             fused_stage_hwbc, to_hwbc)
@@ -368,7 +444,17 @@ class ResNeXt50(nn.Module):
         # (XLA otherwise commutes it to the 4x larger 112x112 stem output
         # — 3.6 ms/step of layout copies in the device trace).
         y = jax.lax.optimization_barrier(y)
-        y = jax.lax.stop_gradient(to_hwbc(y))
+        in_amax = None
+        if quant:
+            from multimodal_baby_tpu.ops.quant import (
+                quantize_activation, resolve_amax)
+            v = self.variable("quant_scales", "stem_amax",
+                              lambda: jnp.zeros((), jnp.float32))
+            in_amax = jax.lax.stop_gradient(resolve_amax(v.value, stem_bn))
+            y = quantize_activation(y.astype(jnp.float32), in_amax)
+            y = jax.lax.stop_gradient(to_hwbc(y, 32))
+        else:
+            y = jax.lax.stop_gradient(to_hwbc(y))
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
             fws, strides = [], []
@@ -376,15 +462,22 @@ class ResNeXt50(nn.Module):
                 s = stride if block_idx == 0 else 1
                 needs_ds = block_idx == 0 and (
                     s != 1 or in_ch != planes * EXPANSION)
-                fw = BottleneckX(
+                block = BottleneckX(
                     planes=planes, stride=s, has_downsample=needs_ds,
                     dtype=self.dtype,
-                    name=f"layer{stage_idx + 1}_{block_idx}")(
-                        None, fold_in_channels=in_ch)
-                fws.append(jax.tree.map(jax.lax.stop_gradient, fw))
+                    name=f"layer{stage_idx + 1}_{block_idx}")
+                if quant:
+                    fw, in_amax = block(None, fold_in_channels=in_ch,
+                                        quant_in_amax=in_amax)
+                else:
+                    fw = block(None, fold_in_channels=in_ch)
+                    fw = jax.tree.map(jax.lax.stop_gradient, fw)
+                fws.append(fw)
                 strides.append(s)
                 in_ch = planes * EXPANSION
             mode = plan[stage_idx]
+            if quant and mode.startswith("banded"):
+                mode = "blocks"  # banded kernels are bf16-only
             if mode == "blocks":
                 for fw, s in zip(fws, strides):
                     y = fused_bottleneck_hwbc(y, fw, stride=s)
@@ -399,7 +492,14 @@ class ResNeXt50(nn.Module):
             else:
                 raise ValueError(f"unknown fused-trunk mode {mode!r}")
 
-        # y: [7, B/16, 7, 16, 2048]; 49-way mean in f32 over spatial axes
+        # y: [7, B/bsub, 7, bsub, 2048]; 49-way mean in f32 over spatial
+        if quant:
+            # dequantize with the final block's range
+            scale = jnp.maximum(in_amax, 1e-12) / 127.0
+            y_f = y.astype(jnp.float32) * scale
+            pooled = jnp.mean(y_f, axis=(0, 2)).reshape(-1, y.shape[-1])
+            fmap = from_hwbc(y_f.astype(self.dtype or jnp.float32))
+            return {"pooled": pooled, "feature_map": fmap}
         pooled = jnp.mean(y.astype(jnp.float32), axis=(0, 2))
         pooled = pooled.reshape(-1, y.shape[-1])
         return {"pooled": pooled, "feature_map": from_hwbc(y)}

@@ -78,8 +78,11 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def to_hwbc(x: jax.Array) -> jax.Array:
-    """[B, H, W, C] -> [H, B/16, W, 16, C].
+def to_hwbc(x: jax.Array, bsub: int = BSUB) -> jax.Array:
+    """[B, H, W, C] -> [H, B/bsub, W, bsub, C].
+
+    bsub = batch lanes in the VMEM sublane dimension: 16 for bf16 (min
+    tile (16, 128)), 32 for int8 (min tile (32, 128)).
 
     Formulated transpose -> reshape -> transpose (instead of splitting B
     first): when the producer left the tensor in a batch-minor layout
@@ -88,7 +91,7 @@ def to_hwbc(x: jax.Array) -> jax.Array:
     of two (-0.45 ms/step at B=256, measured)."""
     b, h, w, c = x.shape
     t = jnp.transpose(x, (1, 2, 3, 0))
-    t = t.reshape(h, w, c, b // BSUB, BSUB)
+    t = t.reshape(h, w, c, b // bsub, bsub)
     return jnp.transpose(t, (0, 3, 1, 4, 2))
 
 
@@ -98,23 +101,40 @@ def from_hwbc(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(bq * bs, h, w, c)
 
 
+def _requant(acc, a, b, dt):
+    """Unified epilogue: per-channel madd + relu (+ int8 round/clip).
+
+    bf16 path: a is all-ones (the madd fuses into one VPU op). int8 path:
+    acc is the int32 dot result, a = s_in*s_w_c/s_out, b = bias_c/s_out,
+    and the clip-from-0 IS the relu (activations are non-negative)."""
+    y = acc.astype(jnp.float32) * a + b
+    if dt == jnp.int8:
+        return jnp.clip(jnp.round(y), 0, 127).astype(dt)
+    return jnp.maximum(y, 0.0).astype(dt)
+
+
 def _kernel(*refs,
             stride: int, has_ds: bool, hh: int, R: int, W: int, Bq: int,
+            bsub: int = BSUB,
             parts: str = "all", conv3_mode: str = "scratch",
             n_h_static: int = 0):
-    """Fused bottleneck block body. Grid mode (n_h_static == 0): the band
-    index comes from the Pallas grid. Tile mode (n_h_static > 0): the
-    caller runs one band per call (XLA-fed VMEM operands) and passes the
-    band index as a leading SMEM scalar."""
+    """Fused bottleneck block body (bf16 or int8 — one code path; see
+    _requant). Grid mode (n_h_static == 0): the band index comes from the
+    Pallas grid. Tile mode (n_h_static > 0): the caller runs one band per
+    call (XLA-fed VMEM operands) and passes the band index as a leading
+    SMEM scalar."""
     if n_h_static:
         ih_ref, refs = refs[0], refs[1:]
-    (x_lo_ref, x_main_ref, x_hi_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-     w3_ref, b3_ref, wd_ref, bd_ref, out_ref, h1pad, h2_scr) = refs
+    (x_lo_ref, x_main_ref, x_hi_ref, w1_ref, a1_ref, b1_ref, w2_ref,
+     a2_ref, b2_ref, w3_ref, a3_ref, b3_ref, wd_ref, ad_ref, bd_ref,
+     ai_ref, out_ref, h1pad, h2_scr) = refs
     cin = w1_ref.shape[0]
     width = w1_ref.shape[1]
     cout = w3_ref.shape[1]
     nb = w2_ref.shape[1]
     dt = out_ref.dtype
+    BSUB = bsub
+    pref = jnp.int32 if dt == jnp.int8 else jnp.float32
     if n_h_static:
         i_h = ih_ref[0]
         n_h = n_h_static
@@ -138,9 +158,9 @@ def _kernel(*refs,
     def conv1(v, rows):
         m = rows * Bq * W * BSUB
         h = jnp.dot(v.reshape(m, cin), w1_ref[:],
-                    preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b1_ref[0], 0.0)
-        return h.astype(dt).reshape(rows, Bq, W, BSUB, width)
+                    preferred_element_type=pref)
+        h = _requant(h, a1_ref[0], b1_ref[0], dt)
+        return h.reshape(rows, Bq, W, BSUB, width)
 
     # h1pad row r holds conv1 of input row (band_start - 1 + r)
     h1pad[1:hin + 1, :, 1:W + 1] = conv1(x_main_ref[:], hin)
@@ -207,28 +227,27 @@ def _kernel(*refs,
         y = None
         for b in range(nb if parts != "noc2" else 0):
             h2b = jnp.dot(tap_slice(k0, b, 0), w2_ref[0, b],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=pref)
             for t in range(1, 9):
                 h2b = h2b + jnp.dot(tap_slice(k0, b, t), w2_ref[t, b],
-                                    preferred_element_type=jnp.float32)
-            h2b = jnp.maximum(h2b + b2_ref[0, b * BS:(b + 1) * BS], 0.0)
+                                    preferred_element_type=pref)
+            h2b = _requant(h2b, a2_ref[0, b * BS:(b + 1) * BS],
+                           b2_ref[0, b * BS:(b + 1) * BS], dt)
             if conv3_mode == "accum":
                 # conv3 folded in: consume h2 block while it's hot
                 # (skips the h2 VMEM round trip)
-                yb = jnp.dot(h2b.astype(dt),
-                             w3_ref[b * BS:(b + 1) * BS, :],
-                             preferred_element_type=jnp.float32)
+                yb = jnp.dot(h2b, w3_ref[b * BS:(b + 1) * BS, :],
+                             preferred_element_type=pref)
                 y = yb if y is None else y + yb
             else:
-                h2_scr[..., b * BS:(b + 1) * BS] = h2b.astype(dt).reshape(
+                h2_scr[..., b * BS:(b + 1) * BS] = h2b.reshape(
                     R, Bq, Wo, BSUB, BS)
 
         # conv3 + bn3 + residual + relu
-        if conv3_mode == "accum" and y is not None:
-            y = y + b3_ref[0]
-        else:
+        if not (conv3_mode == "accum" and y is not None):
             y = jnp.dot(h2_scr[:].reshape(m, width), w3_ref[:],
-                        preferred_element_type=jnp.float32) + b3_ref[0]
+                        preferred_element_type=pref)
+        y = y.astype(jnp.float32) * a3_ref[0] + b3_ref[0]
         if stride == 1:
             xid = x_main_ref[k0:k0 + R].reshape(m, cin)
         else:
@@ -238,12 +257,18 @@ def _kernel(*refs,
                 m, cin)
         if has_ds:
             ident = jnp.dot(xid, wd_ref[:],
-                            preferred_element_type=jnp.float32) + bd_ref[0]
+                            preferred_element_type=pref
+                            ).astype(jnp.float32) * ad_ref[0] + bd_ref[0]
         else:
-            ident = xid.astype(jnp.float32)
+            ident = xid.astype(jnp.float32) * ai_ref[0]
         if parts == "nores":  # perf dissection: skip the residual path
             ident = 0.0
-        out_ref[k0:k0 + R] = jnp.maximum(y + ident, 0.0).astype(dt).reshape(
+        v_out = y + ident
+        if dt == jnp.int8:
+            v_out = jnp.clip(jnp.round(v_out), 0, 127)
+        else:
+            v_out = jnp.maximum(v_out, 0.0)
+        out_ref[k0:k0 + R] = v_out.astype(dt).reshape(
             R, Bq, Wo, BSUB, cout)
 
 
@@ -261,18 +286,25 @@ def fused_bottleneck_hwbc(
     fw: Dict[str, jax.Array],
     *,
     stride: int = 1,
-    Bc: int = 16,
+    Bc: int | None = None,
     hh: int | None = None,
     R: int | None = None,
     parts: str = "all",
     conv3_mode: str = "scratch",
 ) -> jax.Array:
-    """x: [H, B/16, W, 16, Cin] (batch-in-sublanes, see to_hwbc);
-    fw: fold_block_params output. Bc = batch per grid cell (multiple of 16).
-    Returns [H/stride, B/16, W/stride, 16, Cout] in the same layout."""
+    """x: [H, B/bsub, W, bsub, Cin] (batch-in-sublanes, see to_hwbc;
+    bsub 16 for bf16, 32 for int8); fw: fold_block_params output (bf16)
+    or ops.quant.fold_block_params_q output (int8). Bc = batch per grid
+    cell (multiple of bsub). Returns [H/stride, B/bsub, W/stride, bsub,
+    Cout] in the same layout."""
+    from multimodal_baby_tpu.ops.quant import with_unit_scales
     H, nBq, W, bsub, cin = x.shape
-    assert bsub == BSUB and Bc % BSUB == 0
-    Bq = Bc // BSUB
+    assert bsub in (16, 32)
+    if Bc is None:
+        Bc = bsub
+    assert Bc % bsub == 0
+    Bq = Bc // bsub
+    fw = with_unit_scales(fw)
     width = fw["w1"].shape[1]
     cout = fw["w3"].shape[1]
     nb = fw["w2"].shape[1]
@@ -287,75 +319,80 @@ def fused_bottleneck_hwbc(
     hin = stride * hh
     grid = (nBq // Bq, Ho // hh)
 
-    # tiny placeholders when no downsample: the kernel never reads them
-    # (has_ds is static), so don't waste HBM->VMEM traffic on zeros
+    # tiny placeholders when no downsample / no identity-rescale: the
+    # kernel never reads them (has_ds is static), so don't waste
+    # HBM->VMEM traffic on zeros
     wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+    ad = fw.get("ad", jnp.ones((BS,), jnp.float32))
     bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
+    ai = fw.get("ai", jnp.ones((cout,), jnp.float32))
 
     def const_map(n):
         return lambda ib, ih: (0,) * n
 
+    def wspec(shape):
+        return pl.BlockSpec(shape, const_map(len(shape)),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [
         # halo row before the band (clamped at row 0)
-        pl.BlockSpec((1, Bq, W, BSUB, cin),
+        pl.BlockSpec((1, Bq, W, bsub, cin),
                      lambda ib, ih: (jnp.maximum(ih * hin - 1, 0),
                                      ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         # main band
-        pl.BlockSpec((hin, Bq, W, BSUB, cin),
+        pl.BlockSpec((hin, Bq, W, bsub, cin),
                      lambda ib, ih: (ih, ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         # halo row after the band (clamped; unused for stride 2 but kept
         # for a uniform signature)
-        pl.BlockSpec((1, Bq, W, BSUB, cin),
+        pl.BlockSpec((1, Bq, W, bsub, cin),
                      lambda ib, ih: (jnp.minimum(ih * hin + hin, H - 1),
                                      ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cin, width), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, width), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, nb, BS, BS), const_map(4), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, width), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((width, cout), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec(wd.shape, const_map(2), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bd.shape[0]), const_map(2),
-                     memory_space=pltpu.VMEM),
+        wspec((cin, width)), wspec((1, width)), wspec((1, width)),
+        wspec((9, nb, BS, BS)), wspec((1, width)), wspec((1, width)),
+        wspec((width, cout)), wspec((1, cout)), wspec((1, cout)),
+        wspec(wd.shape), wspec((1, ad.shape[0])), wspec((1, bd.shape[0])),
+        wspec((1, cout)),
     ]
 
     Wp = W + 2 if stride == 1 else W + 4
     kernel = functools.partial(
         _kernel, stride=stride, has_ds=has_ds, hh=hh, R=R, W=W, Bq=Bq,
-        parts=parts, conv3_mode=conv3_mode)
+        bsub=bsub, parts=parts, conv3_mode=conv3_mode)
 
-    B = nBq * BSUB
+    B = nBq * bsub
     # conv1 over hin+2 rows, conv2 at output resolution (rows already
     # strided; columns via pair-reshape), conv3/downsample at output res
     flops_per_img = (2 * (hin + 2) / hin * Ho * W * cin * width
                      + 2 * Ho * Wo * 9 * BS * width
                      + 2 * Ho * Wo * (width * cout
                                       + (cin * cout if has_ds else 0)))
-    bytes_img = (H * W * cin * (1 + 2 / hin) + Ho * Wo * cout) * 2
+    isz = x.dtype.itemsize
+    bytes_img = (H * W * cin * (1 + 2 / hin) + Ho * Wo * cout) * isz
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((hh, Bq, Wo, BSUB, cout),
+        out_specs=pl.BlockSpec((hh, Bq, Wo, bsub, cout),
                                lambda ib, ih: (ih, ib, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, BSUB, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, bsub, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((hin + 2, Bq, Wp, BSUB, width), x.dtype),
-            pltpu.VMEM((R, Bq, Wo, BSUB, width), x.dtype),
+            pltpu.VMEM((hin + 2, Bq, Wp, bsub, width), x.dtype),
+            pltpu.VMEM((R, Bq, Wo, bsub, width), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_img * B), transcendentals=0,
             bytes_accessed=int(bytes_img * B)),
         interpret=_interpret(),
-    )(x, x, x, fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
-      fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
-      wd, bd.reshape(1, -1))
+    )(x, x, x, fw["w1"], fw["a1"].reshape(1, -1), fw["b1"].reshape(1, -1),
+      fw["w2"], fw["a2"].reshape(1, -1), fw["b2"].reshape(1, -1),
+      fw["w3"], fw["a3"].reshape(1, -1), fw["b3"].reshape(1, -1),
+      wd, ad.reshape(1, -1), bd.reshape(1, -1), ai.reshape(1, -1))
 
 
 # ---------------------------------------------------------------------------
@@ -380,9 +417,11 @@ def fused_bottleneck_tiles(
     with VMEM-constrained operands instead of a Pallas grid. Tile sizes
     must stay within XLA's alternate-memory coloring budget (~6-8 MB of
     operands+results per call on v5e)."""
+    from multimodal_baby_tpu.ops.quant import with_unit_scales
     H, nBq, W, bsub, cin = x.shape
     assert bsub == BSUB and Bc % BSUB == 0
     Bq = Bc // BSUB
+    fw = with_unit_scales(fw)
     width = fw["w1"].shape[1]
     cout = fw["w3"].shape[1]
     nb = fw["w2"].shape[1]
@@ -402,7 +441,9 @@ def fused_bottleneck_tiles(
     n_b = nBq // Bq
 
     wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+    ad = fw.get("ad", jnp.ones((BS,), jnp.float32))
     bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
+    ai = fw.get("ai", jnp.ones((cout,), jnp.float32))
     Wp = W + 2 if stride == 1 else W + 4
 
     kernel = functools.partial(
@@ -418,7 +459,7 @@ def fused_bottleneck_tiles(
         return pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [vspec] * 11,
+            + [vspec] * 16,
             out_specs=vspec,
             out_shape=jax.ShapeDtypeStruct((hh, Bq, Wo, BSUB, cout),
                                            x.dtype),
@@ -429,9 +470,11 @@ def fused_bottleneck_tiles(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(int(scoped), VMEM_LIMIT)),
             interpret=_interpret(),
-        )(ih, lo, main, hi, fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
-          fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
-          wd, bd.reshape(1, -1))
+        )(ih, lo, main, hi, fw["w1"], fw["a1"].reshape(1, -1),
+          fw["b1"].reshape(1, -1), fw["w2"], fw["a2"].reshape(1, -1),
+          fw["b2"].reshape(1, -1), fw["w3"], fw["a3"].reshape(1, -1),
+          fw["b3"].reshape(1, -1), wd, ad.reshape(1, -1),
+          bd.reshape(1, -1), ai.reshape(1, -1))
 
     def vmem(a):
         if _interpret():
@@ -469,24 +512,29 @@ def fused_bottleneck_tiles(
 # ---------------------------------------------------------------------------
 
 def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
-                  width, cout):
-    """refs: x, then 8 weight refs per block (w1,b1,w2,b2,w3,b3,wd,bd),
-    then out_ref, then scratches (h1pad, tA, tB, h2_scr).
+                  width, cout, bsub: int = BSUB):
+    """refs: x, then 13 weight refs per block
+    (w1,a1,b1,w2,a2,b2,w3,a3,b3,wd,ad,bd,ai), then out_ref, then
+    scratches (h1pad, tA, tB, h2_scr). bf16 or int8 (see _requant).
 
     Every block keeps its input, h1 and output in VMEM; HBM sees one read
     of the stage input and one write of the stage output. The full spatial
     extent is resident, so conv zero-padding is plain zeroed h1pad rows —
     no banding, no halo streams, no boundary conditionals."""
+    NW = 13
     x_ref = refs[0]
-    w_refs = refs[1:1 + 8 * n_blocks]
-    out_ref = refs[1 + 8 * n_blocks]
-    h1pad, tA, tB, h2_scr = refs[2 + 8 * n_blocks:]
+    w_refs = refs[1:1 + NW * n_blocks]
+    out_ref = refs[1 + NW * n_blocks]
+    h1pad, tA, tB, h2_scr = refs[2 + NW * n_blocks:]
     dt = out_ref.dtype
+    BSUB = bsub
+    pref = jnp.int32 if dt == jnp.int8 else jnp.float32
 
     Hj, Wj = x_ref.shape[0], W0          # current block input dims
     cur = x_ref
     for j in range(n_blocks):
-        (w1, b1, w2, b2, w3, b3, wd, bd) = w_refs[8 * j:8 * j + 8]
+        (w1, a1, b1, w2, a2, b2, w3, a3, b3, wd, ad, bd, ai) = \
+            w_refs[NW * j:NW * j + NW]
         stride = strides[j]
         has_ds = has_dss[j]
         cin = w1.shape[0]
@@ -509,9 +557,9 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
             rc = min(8, Hj - r0)
             m1 = rc * Bq * Wj * BSUB
             h1 = jnp.dot(cur[r0:r0 + rc, :, 0:Wj].reshape(m1, cin), w1[:],
-                         preferred_element_type=jnp.float32)
-            h1 = jnp.maximum(h1 + b1[0], 0.0)
-            h1pad[1 + r0:1 + r0 + rc, :, 1:Wj + 1] = h1.astype(dt).reshape(
+                         preferred_element_type=pref)
+            h1 = _requant(h1, a1[0], b1[0], dt)
+            h1pad[1 + r0:1 + r0 + rc, :, 1:Wj + 1] = h1.reshape(
                 rc, Bq, Wj, BSUB, width)
 
         R = next(r for r in (7, 4, 2, 1) if Ho % r == 0)
@@ -537,19 +585,21 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
             for b0 in range(0, nb, 2):
                 pair = [b for b in (b0, b0 + 1) if b < nb]
                 accs = [jnp.dot(tap_slice(k0, b, 0), w2[0, b],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=pref)
                         for b in pair]
                 for t in range(1, 9):
                     accs = [acc + jnp.dot(tap_slice(k0, b, t), w2[t, b],
-                                          preferred_element_type=jnp.float32)
+                                          preferred_element_type=pref)
                             for acc, b in zip(accs, pair)]
                 for acc, b in zip(accs, pair):
-                    h2b = jnp.maximum(acc + b2[0, b * BS:(b + 1) * BS], 0.0)
+                    h2b = _requant(acc, a2[0, b * BS:(b + 1) * BS],
+                                   b2[0, b * BS:(b + 1) * BS], dt)
                     h2_scr[0:R, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
-                        h2b.astype(dt).reshape(R, Bq, Wo, BSUB, BS)
+                        h2b.reshape(R, Bq, Wo, BSUB, BS)
 
             y = jnp.dot(h2_scr[0:R, :, 0:Wo].reshape(m, width), w3[:],
-                        preferred_element_type=jnp.float32) + b3[0]
+                        preferred_element_type=pref
+                        ).astype(jnp.float32) * a3[0] + b3[0]
             if stride == 1:
                 xid = cur[k0:k0 + R, :, 0:Wj].reshape(m, cin)
             else:
@@ -558,12 +608,17 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
                 xid = v.reshape(R, Bq, Wo, 2, BSUB, cin)[:, :, :, 0].reshape(
                     m, cin)
             if has_ds:
-                ident = jnp.dot(xid, wd[:],
-                                preferred_element_type=jnp.float32) + bd[0]
+                ident = jnp.dot(xid, wd[:], preferred_element_type=pref
+                                ).astype(jnp.float32) * ad[0] + bd[0]
             else:
-                ident = xid.astype(jnp.float32)
-            tout[k0:k0 + R, :, 0:Wo] = jnp.maximum(
-                y + ident, 0.0).astype(dt).reshape(R, Bq, Wo, BSUB, cout)
+                ident = xid.astype(jnp.float32) * ai[0]
+            v_out = y + ident
+            if dt == jnp.int8:
+                v_out = jnp.clip(jnp.round(v_out), 0, 127)
+            else:
+                v_out = jnp.maximum(v_out, 0.0)
+            tout[k0:k0 + R, :, 0:Wo] = v_out.astype(dt).reshape(
+                R, Bq, Wo, BSUB, cout)
 
         cur, Hj, Wj = tout, Ho, Wo
 
@@ -573,15 +628,21 @@ def fused_stage_hwbc(
     fws: list,
     strides: list,
     *,
-    Bc: int = 16,
+    Bc: int | None = None,
 ) -> jax.Array:
-    """Whole ResNeXt stage as one Pallas call: x [H, B/16, W, 16, Cin] ->
-    [H/s, B/16, W/s, 16, Cout]. Requires the full spatial extent of every
-    intermediate to fit VMEM per batch tile (true for layer3/layer4 at
-    Bc=16; layer1/2 need banding — use fused_bottleneck_hwbc per block)."""
+    """Whole ResNeXt stage as one Pallas call: x [H, B/bsub, W, bsub,
+    Cin] -> [H/s, B/bsub, W/s, bsub, Cout]. Requires the full spatial
+    extent of every intermediate to fit VMEM per batch tile (true for
+    layer3/layer4; layer1/2 need banding — use fused_bottleneck_hwbc per
+    block)."""
+    from multimodal_baby_tpu.ops.quant import with_unit_scales
     H, nBq, W, bsub, cin0 = x.shape
-    assert bsub == BSUB and Bc % BSUB == 0
-    Bq = Bc // BSUB
+    assert bsub in (16, 32)
+    if Bc is None:
+        Bc = bsub
+    assert Bc % bsub == 0
+    Bq = Bc // bsub
+    fws = [with_unit_scales(fw) for fw in fws]
     n_blocks = len(fws)
     width = fws[0]["w1"].shape[1]
     cout = fws[0]["w3"].shape[1]
@@ -592,7 +653,7 @@ def fused_stage_hwbc(
                for fw in fws)
 
     operands = [x]
-    in_specs = [pl.BlockSpec((H, Bq, W, BSUB, cin0),
+    in_specs = [pl.BlockSpec((H, Bq, W, bsub, cin0),
                              lambda ib: (0, ib, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
 
@@ -609,16 +670,21 @@ def fused_stage_hwbc(
         has_dss.append(has_ds)
         # tiny placeholders when no downsample (never read; has_ds static)
         wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+        ad = fw.get("ad", jnp.ones((BS,), jnp.float32))
         bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
-        arrs = [fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
-                fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
-                wd, bd.reshape(1, -1)]
+        ai = fw.get("ai", jnp.ones((cout,), jnp.float32))
+        arrs = [fw["w1"], fw["a1"].reshape(1, -1), fw["b1"].reshape(1, -1),
+                fw["w2"], fw["a2"].reshape(1, -1), fw["b2"].reshape(1, -1),
+                fw["w3"], fw["a3"].reshape(1, -1), fw["b3"].reshape(1, -1),
+                wd, ad.reshape(1, -1), bd.reshape(1, -1),
+                ai.reshape(1, -1)]
         operands.extend(arrs)
         in_specs.extend(wspec(a.shape) for a in arrs)
 
     kernel = functools.partial(
         _stage_kernel, strides=tuple(strides), has_dss=tuple(has_dss),
-        W0=W, Bq=Bq, n_blocks=n_blocks, width=width, cout=cout)
+        W0=W, Bq=Bq, n_blocks=n_blocks, width=width, cout=cout,
+        bsub=bsub)
 
     flops_img = 0
     hj, wj, cj = H, W, cin0
@@ -629,20 +695,20 @@ def fused_stage_hwbc(
         flops_img += 2 * hj * wj * (9 * BS * width + width * cout
                                     + (cin * cout if "wd" in fw else 0))
 
-    B = nBq * BSUB
+    B = nBq * bsub
     return pl.pallas_call(
         kernel,
         grid=(nBq // Bq,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Ho, Bq, Wo, BSUB, cout),
+        out_specs=pl.BlockSpec((Ho, Bq, Wo, bsub, cout),
                                lambda ib: (0, ib, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, BSUB, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, bsub, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((H + 2, Bq, W + 4, BSUB, width), x.dtype),
-            pltpu.VMEM((Ho, Bq, Wo, BSUB, cout), x.dtype),
-            pltpu.VMEM((Ho, Bq, Wo, BSUB, cout), x.dtype),
-            pltpu.VMEM((7, Bq, Wo, BSUB, width), x.dtype),
+            pltpu.VMEM((H + 2, Bq, W + 4, bsub, width), x.dtype),
+            pltpu.VMEM((Ho, Bq, Wo, bsub, cout), x.dtype),
+            pltpu.VMEM((Ho, Bq, Wo, bsub, cout), x.dtype),
+            pltpu.VMEM((7, Bq, Wo, bsub, width), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
@@ -951,16 +1017,24 @@ def fused_stage_banded(
 
 def stage_reference(x: jax.Array, fws: list, strides: list) -> jax.Array:
     """Oracle: chain of XLA reference blocks in [B, H, W, C] layout."""
+    from multimodal_baby_tpu.ops.quant import bottleneck_reference_q
+    bsub = x.shape[3]
+    ref = bottleneck_reference_q if x.dtype == jnp.int8 \
+        else bottleneck_reference
     y = from_hwbc(x)
     for fw, s in zip(fws, strides):
-        y = bottleneck_reference(y, fw, stride=s)
-    return to_hwbc(y)
+        y = ref(y, fw, stride=s)
+    return to_hwbc(y, bsub)
 
 
 def hwbc_reference(x: jax.Array, fw: Dict[str, jax.Array],
                    *, stride: int = 1) -> jax.Array:
-    """Oracle: same math via the XLA reference in [B, H, W, C] layout."""
-    return to_hwbc(bottleneck_reference(from_hwbc(x), fw, stride=stride))
+    """Oracle: same math via the XLA reference in [B, H, W, C] layout
+    (int8 inputs dispatch to the quantized oracle)."""
+    from multimodal_baby_tpu.ops.quant import bottleneck_reference_q
+    ref = bottleneck_reference_q if x.dtype == jnp.int8 \
+        else bottleneck_reference
+    return to_hwbc(ref(from_hwbc(x), fw, stride=stride), x.shape[3])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -58,9 +58,14 @@ def _infonce(logits_per_image, logits_per_text, metrics_out, valid=None):
 
 
 def make_loss_fn(model, cfg: ExperimentConfig,
-                 mesh: Optional[Mesh] = None) -> Callable:
+                 mesh: Optional[Mesh] = None,
+                 extra_cols: Optional[Dict] = None) -> Callable:
     """Builds loss_fn(params, batch_stats, batch, rng, train) ->
-    (loss, (metrics, new_batch_stats))."""
+    (loss, (metrics, new_batch_stats)).
+
+    extra_cols: additional read-only variable collections closed over the
+    step (e.g. "quant_scales" for the calibrated int8 trunk)."""
+    extra_cols = extra_cols or {}
     t = cfg.train
     use_mm = bool(t.lambda_mm) or not t.optimize_unused
     use_lm = bool(t.lambda_lm) or not t.optimize_unused
@@ -86,7 +91,8 @@ def make_loss_fn(model, cfg: ExperimentConfig,
                 rng_aug, batch["image_u8"],
                 augment=augment_frames and train, dtype=aug_dtype)
 
-        variables = {"params": params, "batch_stats": batch_stats}
+        variables = {"params": params, "batch_stats": batch_stats,
+                     **extra_cols}
         kwargs = dict(train=train, use_mm=use_mm, use_lm=use_lm)
         if train:
             out, updated = model.apply(
@@ -193,9 +199,10 @@ def _per_shard_infonce(mesh, out, metrics, valid=None):
 
 def make_train_step(model, cfg: ExperimentConfig, optimizer,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    extra_cols: Optional[Dict] = None) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics)."""
-    loss_fn = make_loss_fn(model, cfg, mesh)
+    loss_fn = make_loss_fn(model, cfg, mesh, extra_cols)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
@@ -215,9 +222,10 @@ def make_train_step(model, cfg: ExperimentConfig, optimizer,
 
 
 def make_eval_step(model, cfg: ExperimentConfig,
-                   mesh: Optional[Mesh] = None) -> Callable:
+                   mesh: Optional[Mesh] = None,
+                   extra_cols: Optional[Dict] = None) -> Callable:
     """Validation-split step: joint loss + metrics, no grads, f32-stable."""
-    loss_fn = make_loss_fn(model, cfg, mesh)
+    loss_fn = make_loss_fn(model, cfg, mesh, extra_cols)
 
     def eval_step(params, batch_stats, batch) -> Dict:
         _, (metrics, _) = loss_fn(

@@ -93,13 +93,30 @@ class Trainer:
             rng, init_batch["image"], init_batch["text"],
             init_batch["text_len"])
         self.optimizer = build_optimizer(cfg, variables["params"])
+        self.extra_cols = {}
+        if "quant_scales" in variables:
+            # int8 trunk: calibrate activation ranges on the sample batch
+            # (models/quant_calib.py); the scales ride along as a
+            # read-only collection closed over the step
+            from multimodal_baby_tpu.data.augment import augment_batch
+            from multimodal_baby_tpu.models.quant_calib import (
+                calibrate_cvcl)
+            if "image_u8" in sample:
+                calib = augment_batch(rng, sample["image_u8"][:32],
+                                      augment=False)
+            else:
+                calib = init_batch["image"][:32]
+            variables = calibrate_cvcl(variables, calib)
+            self.extra_cols = {"quant_scales": variables["quant_scales"]}
         self.state = TrainState(
             variables["params"], variables.get("batch_stats", {}),
             self.optimizer.init(variables["params"]),
             jax.random.fold_in(rng, 1), jnp.zeros((), jnp.int32))
         self.train_step = make_train_step(
-            self.model, cfg, self.optimizer, self.mesh, donate=True)
-        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+            self.model, cfg, self.optimizer, self.mesh, donate=True,
+            extra_cols=self.extra_cols)
+        self.eval_step = make_eval_step(self.model, cfg, self.mesh,
+                                        extra_cols=self.extra_cols)
 
         if cfg.train.resume_ckpt:
             self._resume(cfg.train.resume_ckpt)
@@ -199,7 +216,8 @@ class Trainer:
                                 shuffle=False,
                                 num_workers=cfg.data.num_workers)
             variables = {"params": self.state.params,
-                         "batch_stats": self.state.batch_stats}
+                         "batch_stats": self.state.batch_stats,
+                         **self.extra_cols}
             scores, _, _ = run_textgen_eval(
                 self.model, variables, loader, self.data.vocab,
                 beam_width=cfg.train.beam_width,
@@ -211,7 +229,8 @@ class Trainer:
         eval_ds = self.data.eval_datasets.get(split)
         if eval_ds is not None:
             variables = {"params": self.state.params,
-                         "batch_stats": self.state.batch_stats}
+                         "batch_stats": self.state.batch_stats,
+                         **self.extra_cols}
             accs, _ = run_forced_choice(
                 self.model, variables, eval_ds, cfg.data.eval_type)
             out["accuracy"] = accs["total"]
