@@ -35,6 +35,14 @@ import time
 import numpy as np
 
 import jax
+
+# the axon (TPU-tunnel) plugin ignores a JAX_PLATFORMS=cpu env override;
+# honor it before the backend initializes (mesh mode relies on
+# JAX_PLATFORMS=cpu + xla_force_host_platform_device_count for CPU-mesh
+# validation)
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 from flax import traverse_util
@@ -57,9 +65,13 @@ A100_BASELINE_PAIRS_PER_SEC = 2500.0
 # small-batch recipe is the per-shard-negatives mode, not this benchmark's
 # concern.
 BATCH = int(os.environ.get("MMB_BENCH_BATCH", "1024"))
-STEPS_PER_CALL = 10
+# image side + rep counts are env-tunable so the CPU-mesh validation of
+# --mesh (8 virtual devices) can run toy shapes; the TPU headline always
+# uses the defaults
+IMG = int(os.environ.get("MMB_BENCH_IMG", "224"))
+STEPS_PER_CALL = int(os.environ.get("MMB_BENCH_STEPS", "10"))
 WARMUP_CALLS = 2
-TIMED_CALLS = 5
+TIMED_CALLS = int(os.environ.get("MMB_BENCH_CALLS", "5"))
 VOCAB = 2350
 
 JPEG_DIR = os.environ.get("MMB_BENCH_JPEG_DIR", "/tmp/mmb_bench_jpegs")
@@ -67,7 +79,7 @@ N_JPEGS = int(os.environ.get("MMB_BENCH_N_JPEGS", "8192"))
 
 
 def make_batch(rng, b):
-    images = rng.randint(0, 256, (b, 224, 224, 3), np.uint8)
+    images = rng.randint(0, 256, (b, IMG, IMG, 3), np.uint8)
     text = np.zeros((b, MAX_LEN_UTTERANCE), np.int32)
     lens = rng.randint(1, MAX_LEN_UTTERANCE - 1, b)
     text[:, 0] = 2
@@ -192,6 +204,78 @@ def run_synthetic():
 
 
 # ---------------------------------------------------------------------------
+# --mesh: global-batch step over ALL visible devices (dp), weak scaling
+# ---------------------------------------------------------------------------
+
+def run_mesh(n_devices=None):
+    """Global-batch train step sharded over a (n, 1) data-parallel mesh:
+    XLA all-gathers the embeddings for the global BxB InfoNCE and psums
+    grads over ICI (train/step.py design). Reports pairs/s/chip and, for
+    n > 1, weak-scaling efficiency vs the same code on a 1-device mesh.
+
+    Validated on the 8-virtual-device CPU mesh (JAX_PLATFORMS=cpu
+    XLA_FLAGS=--xla_force_host_platform_device_count=8). Note: with >1
+    device the fused Pallas trunk is disabled (a Pallas call is an opaque
+    custom call XLA cannot partition; the multi-chip path runs the XLA
+    conv trunk until the kernel is shard_map-wrapped)."""
+    from multimodal_baby_tpu.parallel import (
+        create_mesh, make_param_shardings, shard_batch)
+
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n > 1:
+        os.environ["MMB_FUSED_TRUNK"] = "0"
+
+    def measure(nd):
+        mesh = create_mesh((nd, 1), devices=devices[:nd])
+        b_global = BATCH * nd
+        cfg, model = build_flagship()
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng, b_global)
+        with mesh:
+            (tp, frozen_flat, batch_stats, opt_state, optimizer,
+             extra_cols) = init_state(cfg, model, batch)
+            one_step = make_one_step(model, optimizer, extra_cols)
+
+            shardings = make_param_shardings(mesh, tp)
+            tp = jax.tree_util.tree_map(jax.device_put, tp, shardings)
+            sb = shard_batch(mesh, {k: batch[k] for k in
+                                    ("image_u8", "text", "text_len")})
+
+            @jax.jit
+            def run_k(tp, frozen_flat, batch_stats, opt_state, key,
+                      image_u8, text, text_len):
+                keys = jax.random.split(key, STEPS_PER_CALL)
+                (tp, batch_stats, opt_state), losses = jax.lax.scan(
+                    lambda c, k: one_step(frozen_flat, c, k, image_u8,
+                                          text, text_len),
+                    (tp, batch_stats, opt_state), keys)
+                return tp, batch_stats, opt_state, losses[-1]
+
+            key = jax.random.PRNGKey(42)
+            for _ in range(WARMUP_CALLS):
+                key, k = jax.random.split(key)
+                tp, batch_stats, opt_state, loss = run_k(
+                    tp, frozen_flat, batch_stats, opt_state, k, **sb)
+            _ = float(loss)
+            t0 = time.perf_counter()
+            for _ in range(TIMED_CALLS):
+                key, k = jax.random.split(key)
+                tp, batch_stats, opt_state, loss = run_k(
+                    tp, frozen_flat, batch_stats, opt_state, k, **sb)
+            _ = float(loss)
+            dt = time.perf_counter() - t0
+        return b_global * STEPS_PER_CALL * TIMED_CALLS / dt / nd
+
+    per_chip = measure(n)
+    eff = 1.0
+    if n > 1:
+        single = measure(1)
+        eff = per_chip / max(single, 1e-9)
+    return per_chip, n, eff
+
+
+# ---------------------------------------------------------------------------
 # --real_io: on-disk JPEGs -> DataLoader (native decode) -> H2D -> step
 # ---------------------------------------------------------------------------
 
@@ -293,13 +377,29 @@ def main():
     ap.add_argument("--real_io", action="store_true",
                     help="measure the full host pipeline (on-disk JPEGs "
                     "-> native decode -> H2D -> step)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="global-batch step over all visible devices "
+                    "(data-parallel mesh); reports pairs/s/chip + weak-"
+                    "scaling efficiency")
     args = ap.parse_args()
+
+    metric = "image-text pairs/sec/chip (train+encode)"
+    if args.mesh:
+        value, n, eff = run_mesh()
+        print(json.dumps({
+            "metric": metric + f" [mesh dp={n}]",
+            "value": round(value, 1),
+            "unit": "pairs/s/chip",
+            "vs_baseline": round(value / A100_BASELINE_PAIRS_PER_SEC, 3),
+            "n_chips": n,
+            "weak_scaling_efficiency": round(eff, 3),
+        }))
+        return
 
     pairs_per_sec = run_real_io() if args.real_io else run_synthetic()
     n_chips = max(1, len(jax.devices()))
     value = pairs_per_sec / n_chips
 
-    metric = "image-text pairs/sec/chip (train+encode)"
     if args.real_io:
         metric += " [real host I/O]"
     print(json.dumps({

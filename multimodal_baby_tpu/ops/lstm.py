@@ -12,6 +12,14 @@ Layout is time-major ([L, B, .]) to make each grid step a contiguous block.
 Backward: ``lstm_fused`` carries a custom VJP whose backward replays the
 jax-native masked scan (models.layers.lstm_scan) and differentiates it —
 rematerialized backward, numerically identical to training on the scan.
+
+Status: LIBRARY KERNEL for long-context configs. At CVCL's max sequence
+length (25, core/constants.MAX_LEN_UTTERANCE) the XLA scan is ~45% faster
+(BENCH_NOTES.md scorecard) — too few steps to amortize the per-grid-step
+overhead — so the auto-dispatch (models/layers.FUSED_LSTM_MIN_LEN = 64)
+never fires on any reference recipe. It is kept, oracle-tested, for
+future configs with longer windows (e.g. COCO captions without the
+25-token truncation) and is force-selectable with MMB_FUSED_LSTM=1.
 """
 
 from __future__ import annotations
