@@ -27,6 +27,15 @@ def add_all_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--cnn_dino", action="store_true")
     g.add_argument("--vit_dino", action="store_true")
     g.add_argument("--finetune_cnn", action="store_true")
+    # framework knobs (no reference counterpart)
+    g.add_argument("--frozen_bn", type=str, default="batch",
+                   choices=["batch", "running"],
+                   help="BatchNorm mode for the frozen trunk during "
+                   "training: 'batch' reproduces the reference quirk, "
+                   "'running' is faster on TPU (core/config.py)")
+    g.add_argument("--trunk_int8", action="store_true",
+                   help="int8-quantized fused trunk (frozen trunks, TPU; "
+                   "ops/quant.py — activation ranges auto-calibrated)")
 
     # --- text encoder (multimodal.py:366-389) ---
     g = parser.add_argument_group("text")
@@ -129,7 +138,9 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
                 cnn_model=args.cnn_model,
                 cnn_dino=args.cnn_dino,
                 vit_dino=args.vit_dino,
-                finetune_cnn=args.finetune_cnn),
+                finetune_cnn=args.finetune_cnn,
+                frozen_bn=args.frozen_bn,
+                trunk_int8=args.trunk_int8),
             text=TextConfig(
                 text_encoder=args.text_encoder,
                 captioning=args.captioning,

@@ -3,3 +3,6 @@ from multimodal_baby_tpu.ops.bottleneck_hwbc import (
     fused_stage_banded, fused_stage_hwbc, to_hwbc)
 from multimodal_baby_tpu.ops.infonce import fused_infonce, infonce_loss
 from multimodal_baby_tpu.ops.lstm import lstm_fused
+from multimodal_baby_tpu.ops.quant import (
+    bottleneck_reference_q, fold_block_params_q, quantize_activation,
+    quantize_weight)
