@@ -11,7 +11,8 @@ the FULL training pipeline from raw uint8 frames:
 
 Default mode: K steps folded into one jit (lax.scan) over a resident
 device batch, so the tunneled-TPU dispatch latency doesn't pollute the
-measurement; timing uses block_until_ready.
+measurement; timing forces a host value fetch (block_until_ready is
+unreliable through the tunnel).
 
 --real_io: full host path — a synthetic on-disk JPEG dataset (generated
 once, cached) streamed through DataLoader (native C++ batch decode +
@@ -190,7 +191,11 @@ def run_synthetic():
         train_params, batch_stats, opt_state, loss = run_k_steps(
             train_params, frozen_flat, batch_stats, opt_state, k,
             batch["image_u8"], batch["text"], batch["text_len"])
-    jax.block_until_ready(loss)
+    # HOST FETCH, not block_until_ready: the tunneled TPU's
+    # block_until_ready intermittently returns early (verify-skill
+    # gotcha; observed again right after a tunnel recovery — a 52x
+    # too-fast reading)
+    _ = float(loss)
 
     t0 = time.perf_counter()
     for i in range(TIMED_CALLS):
@@ -198,7 +203,7 @@ def run_synthetic():
         train_params, batch_stats, opt_state, loss = run_k_steps(
             train_params, frozen_flat, batch_stats, opt_state, k,
             batch["image_u8"], batch["text"], batch["text_len"])
-    jax.block_until_ready(loss)
+    _ = float(loss)
     dt = time.perf_counter() - t0
     return BATCH * STEPS_PER_CALL * TIMED_CALLS / dt
 
@@ -365,7 +370,7 @@ def run_real_io():
                 jnp.asarray(b["image_u8"]), jnp.asarray(b["text"]),
                 jnp.asarray(b["text_len"]))
             count += 1
-        jax.block_until_ready(loss)
+        _ = float(loss)  # host fetch (see run_synthetic note)
         return count * BATCH / (time.perf_counter() - t0)
 
     feed(4, timed=False)  # compile + warm caches

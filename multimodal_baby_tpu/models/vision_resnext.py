@@ -277,6 +277,23 @@ class BottleneckX(nn.Module):
             dimension_numbers=dn, feature_group_count=fgc)
 
 
+def _active_data_mesh():
+    """(mesh, data_axis_size) from the ambient ``with mesh:`` context —
+    (None, 1) when no multi-device data mesh is active. Lets the fused
+    Pallas trunk shard_map itself over the data axis without any module
+    plumbing (trainer/bench already run steps inside the mesh context)."""
+    try:
+        from jax._src.mesh import thread_resources
+        mesh = thread_resources.env.physical_mesh
+        from multimodal_baby_tpu.core.constants import DATA_AXIS
+        if not mesh.empty and DATA_AXIS in mesh.shape \
+                and mesh.shape[DATA_AXIS] > 1:
+            return mesh, mesh.shape[DATA_AXIS]
+    except Exception:
+        pass
+    return None, 1
+
+
 class _GroupedKernel(nn.Module):
     shape: Tuple[int, ...]
 
@@ -379,12 +396,18 @@ class ResNeXt50(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
 
-        # batch-in-sublanes layout needs B % 16 == 0 (32 for int8); else
-        # fall back
-        if self._use_fused(ura) and y.shape[0] % 16 == 0:
-            quant = self._use_int8(ura) and y.shape[0] % 32 == 0
+        # batch-in-sublanes layout needs B % 16 == 0 (32 for int8) on
+        # every data shard; else fall back. With a multi-device mesh
+        # active the fused chain runs under shard_map (a Pallas call is
+        # an opaque custom call XLA cannot partition on its own).
+        mesh, n_data = _active_data_mesh()
+        b_local = y.shape[0] // n_data
+        if self._use_fused(ura) and y.shape[0] % n_data == 0 \
+                and b_local % 16 == 0:
+            quant = self._use_int8(ura) and b_local % 32 == 0
             stem_bn = bn1_mod.raw()[0] if quant else None
-            return self._fused_stages(y, quant=quant, stem_bn=stem_bn)
+            return self._fused_stages(y, quant=quant, stem_bn=stem_bn,
+                                      mesh=mesh)
 
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
@@ -420,14 +443,20 @@ class ResNeXt50(nn.Module):
     fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "full")
 
     def _fused_stages(self, y: jax.Array, quant: bool = False,
-                      stem_bn: Dict[str, jax.Array] | None = None
-                      ) -> Dict[str, jax.Array]:
+                      stem_bn: Dict[str, jax.Array] | None = None,
+                      mesh=None) -> Dict[str, jax.Array]:
         """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +
         feature map via fused kernels in the batch-in-sublanes layout.
         Declares the exact same parameters as the conv path (BottleneckX
         fold mode), so checkpoints interchange. ``quant`` runs the whole
         trunk in int8 (batch lanes 32, activation ranges from the
-        "quant_scales" collection — see models/quant_calib.py)."""
+        "quant_scales" collection — see models/quant_calib.py).
+
+        Two phases: (1) fold every block's weights (module calls, declare
+        params/variables); (2) a PURE kernel chain over the activations.
+        With a multi-device data mesh active (``mesh``), phase 2 runs
+        under shard_map over the data axis — each shard executes the
+        Pallas kernels on its local batch; weights ride in replicated."""
         from multimodal_baby_tpu.ops.bottleneck_hwbc import (
             from_hwbc, fused_bottleneck_hwbc, fused_stage_banded,
             fused_stage_hwbc, to_hwbc)
@@ -437,24 +466,16 @@ class ResNeXt50(nn.Module):
             raise ValueError(
                 f"MMB_TRUNK_PLAN needs {len(RESNEXT50_STAGES)} comma-"
                 f"separated entries (one per stage), got {plan!r}")
-        # the fused path only activates for frozen trunks (running BN), so
-        # cut the AD path here: no trunk backward is ever built, and the
-        # Pallas forwards are never differentiated.
-        # optimization_barrier pins the layout transpose AFTER the maxpool
-        # (XLA otherwise commutes it to the 4x larger 112x112 stem output
-        # — 3.6 ms/step of layout copies in the device trace).
-        y = jax.lax.optimization_barrier(y)
+
+        # ---- phase 1: fold weights (+ quant ranges) per stage ----
         in_amax = None
         if quant:
-            from multimodal_baby_tpu.ops.quant import (
-                quantize_activation, resolve_amax)
+            from multimodal_baby_tpu.ops.quant import resolve_amax
             v = self.variable("quant_scales", "stem_amax",
                               lambda: jnp.zeros((), jnp.float32))
             in_amax = jax.lax.stop_gradient(resolve_amax(v.value, stem_bn))
-            y = quantize_activation(y.astype(jnp.float32), in_amax)
-            y = jax.lax.stop_gradient(to_hwbc(y, 32))
-        else:
-            y = jax.lax.stop_gradient(to_hwbc(y))
+        stem_amax = in_amax
+        stage_fws, stage_strides, stage_modes = [], [], []
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
             fws, strides = [], []
@@ -478,28 +499,61 @@ class ResNeXt50(nn.Module):
             mode = plan[stage_idx]
             if quant and mode.startswith("banded"):
                 mode = "blocks"  # banded kernels are bf16-only
-            if mode == "blocks":
-                for fw, s in zip(fws, strides):
-                    y = fused_bottleneck_hwbc(y, fw, stride=s)
-            elif mode == "full":
-                y = fused_stage_hwbc(y, fws, strides)
-            elif mode == "split":
-                y = fused_bottleneck_hwbc(y, fws[0], stride=strides[0])
-                y = fused_stage_hwbc(y, fws[1:], strides[1:])
-            elif mode.startswith("banded"):
-                hh = int(mode[6:]) if len(mode) > 6 else 14
-                y = fused_stage_banded(y, fws, strides, hh=hh)
-            else:
-                raise ValueError(f"unknown fused-trunk mode {mode!r}")
+            stage_fws.append(fws)
+            stage_strides.append(strides)
+            stage_modes.append(mode)
+        out_amax = in_amax  # final block's range (quant only)
 
-        # y: [7, B/bsub, 7, bsub, 2048]; 49-way mean in f32 over spatial
-        if quant:
-            # dequantize with the final block's range
-            scale = jnp.maximum(in_amax, 1e-12) / 127.0
-            y_f = y.astype(jnp.float32) * scale
-            pooled = jnp.mean(y_f, axis=(0, 2)).reshape(-1, y.shape[-1])
-            fmap = from_hwbc(y_f.astype(self.dtype or jnp.float32))
-            return {"pooled": pooled, "feature_map": fmap}
-        pooled = jnp.mean(y.astype(jnp.float32), axis=(0, 2))
-        pooled = pooled.reshape(-1, y.shape[-1])
-        return {"pooled": pooled, "feature_map": from_hwbc(y)}
+        # ---- phase 2: pure kernel chain ----
+        def chain(y, stage_fws):
+            # optimization_barrier pins the layout transpose AFTER the
+            # maxpool (XLA otherwise commutes it to the 4x larger 112x112
+            # stem output — 3.6 ms/step of layout copies in the trace).
+            y = jax.lax.optimization_barrier(y)
+            if quant:
+                from multimodal_baby_tpu.ops.quant import (
+                    quantize_activation)
+                y = quantize_activation(y.astype(jnp.float32), stem_amax)
+                y = jax.lax.stop_gradient(to_hwbc(y, 32))
+            else:
+                y = jax.lax.stop_gradient(to_hwbc(y))
+            for fws, strides, mode in zip(stage_fws, stage_strides,
+                                          stage_modes):
+                if mode == "blocks":
+                    for fw, s in zip(fws, strides):
+                        y = fused_bottleneck_hwbc(y, fw, stride=s)
+                elif mode == "full":
+                    y = fused_stage_hwbc(y, fws, strides)
+                elif mode == "split":
+                    y = fused_bottleneck_hwbc(y, fws[0], stride=strides[0])
+                    y = fused_stage_hwbc(y, fws[1:], strides[1:])
+                elif mode.startswith("banded"):
+                    hh = int(mode[6:]) if len(mode) > 6 else 14
+                    y = fused_stage_banded(y, fws, strides, hh=hh)
+                else:
+                    raise ValueError(f"unknown fused-trunk mode {mode!r}")
+
+            # y: [7, B/bsub, 7, bsub, 2048]; 49-way mean in f32
+            if quant:
+                scale = jnp.maximum(out_amax, 1e-12) / 127.0
+                y_f = y.astype(jnp.float32) * scale
+                pooled = jnp.mean(y_f, axis=(0, 2)).reshape(
+                    -1, y.shape[-1])
+                fmap = from_hwbc(y_f.astype(self.dtype or jnp.float32))
+                return pooled, fmap
+            pooled = jnp.mean(y.astype(jnp.float32), axis=(0, 2))
+            pooled = pooled.reshape(-1, y.shape[-1])
+            return pooled, from_hwbc(y)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from multimodal_baby_tpu.core.constants import DATA_AXIS
+            wspecs = jax.tree.map(lambda _: P(), stage_fws)
+            pooled, fmap = jax.shard_map(
+                chain, mesh=mesh,
+                in_specs=(P(DATA_AXIS), wspecs),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                check_vma=False)(y, stage_fws)
+        else:
+            pooled, fmap = chain(y, stage_fws)
+        return {"pooled": pooled, "feature_map": fmap}
