@@ -101,8 +101,15 @@ def build_flagship():
             normalize_features=True, fix_temperature=True, temperature=0.07,
             # running-average BN on the frozen trunk: the framework's
             # recommended mode (no batch-stat reductions; eval semantics
-            # identical) — frozen_bn="batch" reproduces the reference quirk
-            vision=VisionConfig(cnn_dino=True, frozen_bn="running"),
+            # identical) — frozen_bn="batch" reproduces the reference
+            # quirk. trunk_int8=(0,0,1,1) = the measured-best v5e mixed-
+            # precision plan for the FROZEN trunk: int8 on the weight/MXU-
+            # bound layers 3-4 only (scripts/perf_hwbc_int8.py), activation
+            # ranges calibrated in init_state, feature fidelity gated at
+            # cosine > 0.99 vs the f32 conv path (tests/test_quant_trunk).
+            # MMB_TRUNK_INT8=0 reproduces the pure-bf16 number.
+            vision=VisionConfig(cnn_dino=True, frozen_bn="running",
+                                trunk_int8=(False, False, True, True)),
             text=TextConfig(text_encoder="embedding")),
         train=TrainConfig(optimizer="AdamW", lr=1e-4, weight_decay=0.1),
         parallel=ParallelConfig())
@@ -219,17 +226,15 @@ def run_mesh(n_devices=None):
     n > 1, weak-scaling efficiency vs the same code on a 1-device mesh.
 
     Validated on the 8-virtual-device CPU mesh (JAX_PLATFORMS=cpu
-    XLA_FLAGS=--xla_force_host_platform_device_count=8). Note: with >1
-    device the fused Pallas trunk is disabled (a Pallas call is an opaque
-    custom call XLA cannot partition; the multi-chip path runs the XLA
-    conv trunk until the kernel is shard_map-wrapped)."""
+    XLA_FLAGS=--xla_force_host_platform_device_count=8). The fused Pallas
+    trunk participates: with a multi-device mesh active the kernel chain
+    shard_maps itself over the data axis (vision_resnext._fused_stages),
+    so each chip runs the Pallas trunk on its local batch shard."""
     from multimodal_baby_tpu.parallel import (
         create_mesh, make_param_shardings, shard_batch)
 
     devices = jax.devices()
     n = n_devices or len(devices)
-    if n > 1:
-        os.environ["MMB_FUSED_TRUNK"] = "0"
 
     def measure(nd):
         mesh = create_mesh((nd, 1), devices=devices[:nd])

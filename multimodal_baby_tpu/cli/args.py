@@ -33,9 +33,12 @@ def add_all_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="BatchNorm mode for the frozen trunk during "
                    "training: 'batch' reproduces the reference quirk, "
                    "'running' is faster on TPU (core/config.py)")
-    g.add_argument("--trunk_int8", action="store_true",
+    g.add_argument("--trunk_int8", nargs="?", const=True, default=False,
                    help="int8-quantized fused trunk (frozen trunks, TPU; "
-                   "ops/quant.py — activation ranges auto-calibrated)")
+                   "ops/quant.py — activation ranges auto-calibrated). "
+                   "Bare flag = whole trunk; an optional per-stage plan "
+                   "like '0,0,1,1' (the measured-best v5e mix) runs int8 "
+                   "on a suffix of stages only")
 
     # --- text encoder (multimodal.py:366-389) ---
     g = parser.add_argument_group("text")

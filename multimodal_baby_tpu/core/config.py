@@ -44,12 +44,15 @@ class VisionConfig:
     # faster on TPU (no stat reductions) and the more principled choice for
     # a frozen trunk. Eval always uses running averages.
     frozen_bn: str = "batch"
-    # int8-quantized fused trunk (TPU, frozen trunks only): int8 runs the
-    # MXU at 2x the bf16 rate and halves trunk HBM traffic (ops/quant.py).
-    # Requires calibration for best fidelity (models/quant_calib.py);
-    # off by default — enable explicitly or via MMB_TRUNK_INT8=1 after
-    # checking feature parity for your checkpoint.
-    trunk_int8: bool = False
+    # int8-quantized fused trunk (TPU, frozen trunks only; ops/quant.py).
+    # True = whole trunk; a 4-tuple of bools (or "0,0,1,1" string) picks
+    # per stage — int8 must form a contiguous suffix. The measured-best
+    # v5e plan is (0, 0, 1, 1): int8 wins on the weight/MXU-bound layers
+    # 3-4, not on the activation-DMA-bound layers 1-2
+    # (scripts/perf_hwbc_int8.py). Requires calibration for best fidelity
+    # (models/quant_calib.py); off by default — enable explicitly or via
+    # MMB_TRUNK_INT8 after checking feature parity for your checkpoint.
+    trunk_int8: Any = False
 
     @property
     def backbone(self) -> str:

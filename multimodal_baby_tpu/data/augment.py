@@ -130,7 +130,14 @@ def augment_batch(
 
     # compose blur into the interpolation matrices: the image is touched
     # by TWO [out, in] matmuls total instead of four (crop/resize and blur
-    # are both linear; same sigma both axes like torchvision)
+    # are both linear; same sigma both axes like torchvision).
+    # bf16 matrices: coordinates/weights are COMPUTED in f32 (bf16's ~8
+    # mantissa bits would misplace pixels), but the materialized per-image
+    # matrices are bf16 — resampling weights at 0.4% is below one 8-bit
+    # pixel LSB, and it halves the ~300 MB/step of matrix traffic that
+    # dominated the augment cost (scripts/perf_frontend.py: construction
+    # was 1.0 of the 1.6 ms at B=256)
+    ry, cx, gy = (m.astype(jnp.bfloat16) for m in (ry, cx, gy))
     a_row = jnp.einsum("bpo,boh->bph", gy, ry)             # [B, out, H]
     a_col = jnp.einsum("bsq,bqw->bsw", gy, cx)             # [B, out, W]
 
@@ -139,7 +146,6 @@ def augment_batch(
         f = f / 255.0
     # bf16 is ample precision for resampling 8-bit pixels; halves traffic
     f = f.astype(jnp.bfloat16)
-    a_row, a_col = (m.astype(jnp.bfloat16) for m in (a_row, a_col))
     x = jnp.einsum("bph,bhwc->bpwc", a_row, f)
     x = jnp.einsum("bsw,bpwc->bpsc", a_col, x)
     # per-channel normalize affine fuses into the einsum epilogue

@@ -107,11 +107,12 @@ class BottleneckX(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  fold_in_channels: int | None = None,
-                 quant_in_amax: jax.Array | None = None) -> Any:
+                 quant_in_amax: jax.Array | None = None,
+                 amax_chain: jax.Array | None = None) -> Any:
         if fold_in_channels is not None:
             if quant_in_amax is not None:
                 return self._fold_q(fold_in_channels, quant_in_amax)
-            return self._fold(fold_in_channels)
+            return self._fold(fold_in_channels, amax_chain=amax_chain)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
         ura = not train
@@ -160,7 +161,8 @@ class BottleneckX(nn.Module):
         y = _bn("bn3", ura, dt, out_ch)(y)
         return nn.relu(y + identity)
 
-    def _fold(self, in_channels: int) -> Dict[str, jax.Array]:
+    def _fold(self, in_channels: int,
+              amax_chain: jax.Array | None = None):
         """Declare this block's parameters (same names/shapes as the conv
         path, so checkpoints interchange) and return them folded with the
         running-average BN into the kernel-ready form consumed by
@@ -168,7 +170,15 @@ class BottleneckX(nn.Module):
 
         Only valid for frozen trunks (inference BN); used by the fused
         Pallas trunk on the TPU hot path. Reached via
-        ``__call__(x, fold_in_channels=...)`` (the one compact method)."""
+        ``__call__(x, fold_in_channels=...)`` (the one compact method).
+
+        ``amax_chain``: when a LATER stage of a mixed-precision trunk runs
+        int8 (ResNeXt50.trunk_int8 per-stage plan), bf16 blocks still
+        thread the activation-range chain so the bf16 -> int8 boundary has
+        a quantization scale. The block then also declares its "out_amax"
+        variable (same name/scope as the int8 fold, so
+        models/quant_calib.py calibration lands on it) and returns
+        (fw, out_amax) with the _fold_q fallback formula."""
         from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
@@ -179,8 +189,9 @@ class BottleneckX(nn.Module):
         mul1, add1 = InferenceBN(width, name="bn1").fold()
         w2 = _GroupedKernel((3, 3, cg, width), name="conv2")()
         mul2, add2 = InferenceBN(width, name="bn2").fold()
+        bn3 = InferenceBN(out_ch, name="bn3")
         w3 = _GroupedKernel((1, 1, width, out_ch), name="conv3")()[0, 0]
-        mul3, add3 = InferenceBN(out_ch, name="bn3").fold()
+        mul3, add3 = bn3.fold()
         fw = {
             "w1": (w1 * mul1[None, :]).astype(dt), "b1": add1,
             "w2": pack_grouped_kernel(
@@ -194,7 +205,15 @@ class BottleneckX(nn.Module):
             muld, addd = InferenceBN(out_ch, name="downsample_bn").fold()
             fw["wd"] = (wd * muld[None, :]).astype(dt)
             fw["bd"] = addd
-        return fw
+        if amax_chain is None:
+            return fw
+        from multimodal_baby_tpu.ops.quant import bn_amax_bound
+        v_out = self.variable("quant_scales", "out_amax",
+                              lambda: jnp.zeros((), jnp.float32))
+        bn3_params, _ = bn3.raw()
+        out_amax = jnp.where(v_out.value > 0, v_out.value,
+                             bn_amax_bound(bn3_params) + amax_chain)
+        return fw, jax.lax.stop_gradient(out_amax)
 
     def _fold_q(self, in_channels: int, in_amax: jax.Array):
         """int8 fold: declare the same parameters as the conv path plus
@@ -336,17 +355,48 @@ class ResNeXt50(nn.Module):
     # the XLA lowering on layers 2-4 at B=256 (see BENCH_NOTES.md).
     # Override with MMB_FUSED_TRUNK=0/1.
     fused_trunk: bool = True
-    # int8-quantized fused trunk (see ops/quant.py): 2x MXU rate + half
-    # the trunk DMA traffic. Needs the fused-trunk preconditions plus
-    # B % 32 == 0; calibrate activation ranges with models/quant_calib.
-    # Override with MMB_TRUNK_INT8=0/1.
-    trunk_int8: bool = False
+    # int8-quantized fused trunk (see ops/quant.py). Needs the fused-trunk
+    # preconditions plus B % 32 == 0; calibrate activation ranges with
+    # models/quant_calib. True = whole trunk; a 4-tuple of bools picks
+    # per stage — int8 stages must form a contiguous SUFFIX (the
+    # bf16 -> int8 boundary quantizes + regroups sublanes once). Measured
+    # on v5e (scripts/perf_hwbc_int8.py): int8 wins ~30-35% on the
+    # weight/MXU-bound layers 3-4 but nothing on the activation-DMA-bound
+    # layers 1-2, so the recommended mixed plan is (0, 0, 1, 1).
+    # Override with MMB_TRUNK_INT8=0 / 1 / "0,0,1,1".
+    trunk_int8: Any = False
 
-    def _use_int8(self, ura: bool) -> bool:
+    def _int8_plan(self, ura: bool) -> Tuple[bool, ...]:
+        """Per-stage int8 plan (4 bools); all-False = bf16 trunk."""
+        n = len(RESNEXT50_STAGES)
         env = os.environ.get("MMB_TRUNK_INT8")
-        if env is not None:
-            return env == "1"
-        return self.trunk_int8
+        raw = env if env is not None else self.trunk_int8
+        if isinstance(raw, str):
+            if "," in raw:
+                parts = raw.split(",")
+                if len(parts) != n:
+                    raise ValueError(
+                        f"MMB_TRUNK_INT8 plan needs {n} comma-separated "
+                        f"0/1 entries, got {raw!r}")
+                plan = tuple(p.strip() == "1" for p in parts)
+            else:
+                plan = (raw == "1",) * n
+        elif isinstance(raw, (tuple, list)):
+            plan = tuple(bool(p) for p in raw)
+            if len(plan) != n:
+                raise ValueError(
+                    f"trunk_int8 plan needs {n} entries, got {raw!r}")
+        else:
+            plan = (bool(raw),) * n
+        # int8 stages must form a contiguous suffix: the chain switches
+        # layout/dtype once (bf16/bsub16 -> int8/bsub32) and never back
+        for a, b in zip(plan, plan[1:]):
+            if a and not b:
+                raise ValueError(
+                    "int8 stages must form a contiguous suffix of the "
+                    f"trunk (got plan {plan}); an int8 -> bf16 boundary "
+                    "is not supported")
+        return plan
 
     def _use_fused(self, ura: bool) -> bool:
         # semantic preconditions: the fused trunk folds running-average BN
@@ -379,6 +429,31 @@ class ResNeXt50(nn.Module):
             return self.dense_groups[stage_idx]
         return self.dense_groups if stage_idx == 0 else False
 
+    def _stem_s2d(self, x: jax.Array, dt) -> jax.Array:
+        """Stem conv via space-to-depth: the 7x7 stride-2 conv over 3
+        channels becomes a 4x4 stride-1 conv over 12 channels — the same
+        sums in a different order (MLPerf-ResNet trick). XLA runs the
+        C_in=3 conv far below MXU rate (measured 2.7 ms/step of the
+        ~3.3 ms front-end at B=256, scripts/perf_frontend.py); the
+        repacked K=4*4*12 form tiles cleanly. The parameter stays the
+        reference-shaped [7,7,3,64] conv1/kernel — the remap is pure
+        jnp (differentiable, checkpoint-compatible)."""
+        b, h, w, c = x.shape
+        # input: [B, 2H', 2W', 3] -> [B, H', W', (i, j, c)=12]
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+            b, h // 2, w // 2, 4 * c)
+        # kernel: [7,7,3,64] -> pad to [8,8] (tap index d = 2k + i - 1;
+        # d = -1 is the zero row/col) -> [4, 2, 4, 2, 3, 64] -> [4,4,12,64]
+        w7 = _GroupedKernel((7, 7, 3, 64), name="conv1")()
+        wp = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = jnp.transpose(
+            wp.reshape(4, 2, 4, 2, 3, 64), (0, 2, 1, 3, 4, 5)
+        ).reshape(4, 4, 12, 64).astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            xs, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> Dict[str, jax.Array]:
@@ -386,8 +461,20 @@ class ResNeXt50(nn.Module):
         dt = self.dtype
         if dt is not None:
             x = x.astype(dt)
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, name="conv1", dtype=dt)(x)
+        # s2d stem (numerically the same conv, not bit-identical:
+        # summation order differs). Default OFF: despite the MXU-
+        # alignment theory (K=147 C_in=3 -> K=192 C_in=12), measured
+        # end-to-end it LOSES ~2% at B=1024 (bench A/B, BENCH_NOTES
+        # round 3) — XLA's s2d input transpose + its lowering of the
+        # 4x4 conv cost more than the alignment saves. MMB_S2D_STEM=1
+        # re-enables for future re-evaluation.
+        if dt == jnp.bfloat16 and x.shape[1] % 2 == 0 \
+                and x.shape[2] % 2 == 0 \
+                and os.environ.get("MMB_S2D_STEM", "0") == "1":
+            y = self._stem_s2d(x, dt)
+        else:
+            y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, name="conv1", dtype=dt)(x)
         bn1_mod = _bn("bn1", ura, dt, 64)
         y = bn1_mod(y)
         y = nn.relu(y)
@@ -404,10 +491,12 @@ class ResNeXt50(nn.Module):
         b_local = y.shape[0] // n_data
         if self._use_fused(ura) and y.shape[0] % n_data == 0 \
                 and b_local % 16 == 0:
-            quant = self._use_int8(ura) and b_local % 32 == 0
-            stem_bn = bn1_mod.raw()[0] if quant else None
-            return self._fused_stages(y, quant=quant, stem_bn=stem_bn,
-                                      mesh=mesh)
+            qplan = self._int8_plan(ura)
+            if b_local % 32 != 0:
+                qplan = (False,) * len(qplan)
+            stem_bn = bn1_mod.raw()[0] if any(qplan) else None
+            return self._fused_stages(y, quant_plan=qplan,
+                                      stem_bn=stem_bn, mesh=mesh)
 
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
@@ -442,15 +531,19 @@ class ResNeXt50(nn.Module):
     # included) in one in-VMEM call.
     fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "full")
 
-    def _fused_stages(self, y: jax.Array, quant: bool = False,
+    def _fused_stages(self, y: jax.Array,
+                      quant_plan: Tuple[bool, ...] = (False,) * 4,
                       stem_bn: Dict[str, jax.Array] | None = None,
                       mesh=None) -> Dict[str, jax.Array]:
         """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +
         feature map via fused kernels in the batch-in-sublanes layout.
         Declares the exact same parameters as the conv path (BottleneckX
-        fold mode), so checkpoints interchange. ``quant`` runs the whole
-        trunk in int8 (batch lanes 32, activation ranges from the
-        "quant_scales" collection — see models/quant_calib.py).
+        fold mode), so checkpoints interchange. ``quant_plan`` runs a
+        contiguous suffix of stages in int8 (batch lanes 32, activation
+        ranges from the "quant_scales" collection — see
+        models/quant_calib.py); bf16 stages ahead of the first int8 stage
+        thread the activation-range chain so the boundary quantization
+        has a scale.
 
         Two phases: (1) fold every block's weights (module calls, declare
         params/variables); (2) a PURE kernel chain over the activations.
@@ -468,16 +561,21 @@ class ResNeXt50(nn.Module):
                 f"separated entries (one per stage), got {plan!r}")
 
         # ---- phase 1: fold weights (+ quant ranges) per stage ----
+        any_q = any(quant_plan)
         in_amax = None
-        if quant:
+        if any_q:
             from multimodal_baby_tpu.ops.quant import resolve_amax
             v = self.variable("quant_scales", "stem_amax",
                               lambda: jnp.zeros((), jnp.float32))
             in_amax = jax.lax.stop_gradient(resolve_amax(v.value, stem_bn))
         stem_amax = in_amax
+        q_entry_amax = stem_amax  # range at the bf16 -> int8 boundary
         stage_fws, stage_strides, stage_modes = [], [], []
         in_ch = 64
         for stage_idx, (planes, blocks, stride) in enumerate(RESNEXT50_STAGES):
+            q_stage = quant_plan[stage_idx]
+            if q_stage and not (stage_idx and quant_plan[stage_idx - 1]):
+                q_entry_amax = in_amax  # first int8 stage's input range
             fws, strides = [], []
             for block_idx in range(blocks):
                 s = stride if block_idx == 0 else 1
@@ -487,9 +585,15 @@ class ResNeXt50(nn.Module):
                     planes=planes, stride=s, has_downsample=needs_ds,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}")
-                if quant:
+                if q_stage:
                     fw, in_amax = block(None, fold_in_channels=in_ch,
                                         quant_in_amax=in_amax)
+                elif any_q:
+                    # bf16 stage ahead of an int8 one: thread the range
+                    # chain (and declare out_amax so calibration lands)
+                    fw, in_amax = block(None, fold_in_channels=in_ch,
+                                        amax_chain=in_amax)
+                    fw = jax.tree.map(jax.lax.stop_gradient, fw)
                 else:
                     fw = block(None, fold_in_channels=in_ch)
                     fw = jax.tree.map(jax.lax.stop_gradient, fw)
@@ -497,7 +601,7 @@ class ResNeXt50(nn.Module):
                 strides.append(s)
                 in_ch = planes * EXPANSION
             mode = plan[stage_idx]
-            if quant and mode.startswith("banded"):
+            if q_stage and mode.startswith("banded"):
                 mode = "blocks"  # banded kernels are bf16-only
             stage_fws.append(fws)
             stage_strides.append(strides)
@@ -510,15 +614,30 @@ class ResNeXt50(nn.Module):
             # maxpool (XLA otherwise commutes it to the 4x larger 112x112
             # stem output — 3.6 ms/step of layout copies in the trace).
             y = jax.lax.optimization_barrier(y)
-            if quant:
+            if quant_plan[0]:
                 from multimodal_baby_tpu.ops.quant import (
                     quantize_activation)
                 y = quantize_activation(y.astype(jnp.float32), stem_amax)
                 y = jax.lax.stop_gradient(to_hwbc(y, 32))
             else:
                 y = jax.lax.stop_gradient(to_hwbc(y))
-            for fws, strides, mode in zip(stage_fws, stage_strides,
-                                          stage_modes):
+            for stage_idx, (fws, strides, mode) in enumerate(
+                    zip(stage_fws, stage_strides, stage_modes)):
+                if quant_plan[stage_idx] and not (
+                        stage_idx and quant_plan[stage_idx - 1]) \
+                        and not quant_plan[0]:
+                    # bf16 -> int8 boundary: quantize with the threaded
+                    # range, then regroup batch sublanes 16 -> 32
+                    # ([H, B/16, W, 16, C] -> [H, B/32, W, 32, C]; one
+                    # XLA copy of a small int8 tensor)
+                    from multimodal_baby_tpu.ops.quant import (
+                        quantize_activation)
+                    y = quantize_activation(
+                        y.astype(jnp.float32), q_entry_amax)
+                    h, nq, w, bs, c = y.shape
+                    y = y.reshape(h, nq // 2, 2, w, bs, c)
+                    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+                    y = y.reshape(h, nq // 2, w, 2 * bs, c)
                 if mode == "blocks":
                     for fw, s in zip(fws, strides):
                         y = fused_bottleneck_hwbc(y, fw, stride=s)
@@ -534,7 +653,7 @@ class ResNeXt50(nn.Module):
                     raise ValueError(f"unknown fused-trunk mode {mode!r}")
 
             # y: [7, B/bsub, 7, bsub, 2048]; 49-way mean in f32
-            if quant:
+            if quant_plan[-1]:
                 scale = jnp.maximum(out_amax, 1e-12) / 127.0
                 y_f = y.astype(jnp.float32) * scale
                 pooled = jnp.mean(y_f, axis=(0, 2)).reshape(

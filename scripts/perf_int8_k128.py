@@ -29,8 +29,9 @@ def probe(M, K, N, in_dtype, reps):
         acc = jnp.dot(a, b_ref[:], preferred_element_type=acc_dtype)
         for _ in range(reps - 1):
             if in_dtype == jnp.int8:
-                a2 = (acc[:, :1] & 127).astype(jnp.int8) + a  # cheap dep
-                a2 = jnp.clip(a2, -127, 127)
+                # cheap dep in i32 (Mosaic has no i8 vector arith)
+                a2 = jnp.clip((acc[:, :1] & 1) + a.astype(jnp.int32),
+                              -127, 127).astype(jnp.int8)
             else:
                 a2 = a + (acc[:, :1] * jnp.float32(1e-6)).astype(a.dtype)
             acc = jnp.dot(a2, b_ref[:], preferred_element_type=acc_dtype)

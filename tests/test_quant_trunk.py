@@ -183,3 +183,51 @@ def test_int8_trunk_end_to_end_cosine(monkeypatch):
     cos = (a * b).sum(-1) / (
         np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
     assert cos.min() > 0.99, cos.min()
+
+
+def test_mixed_plan_trunk_end_to_end_cosine(monkeypatch):
+    """Mixed-precision plan (bf16 layers 1-2, int8 layers 3-4 — the
+    measured-best v5e mix): bf16 stages thread the activation-range
+    chain, the boundary quantizes + regroups sublanes 16 -> 32, and the
+    pooled features must stay ~parallel to the f32 conv path. Should be
+    strictly closer to f32 than the all-int8 trunk (fewer quantized
+    stages)."""
+    from multimodal_baby_tpu.models.quant_calib import calibrate_backbone
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.randn(32, 64, 64, 3), jnp.float32)
+
+    ref_mod = ResNeXt50(dtype=None, dense_groups=False, fused_trunk=False)
+    variables = ref_mod.init(jax.random.PRNGKey(0), imgs, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    want = ref_mod.apply({"params": params, "batch_stats": stats},
+                         imgs, train=False)["pooled"]
+
+    scales = calibrate_backbone(params, stats, imgs)
+
+    monkeypatch.setenv("MMB_FUSED_TRUNK", "1")
+    monkeypatch.setenv("MMB_TRUNK_INT8", "0,0,1,1")
+    q_mod = ResNeXt50(dtype=jnp.bfloat16)
+    got = q_mod.apply(
+        {"params": params, "batch_stats": stats, "quant_scales": scales},
+        imgs.astype(jnp.bfloat16), train=False)["pooled"]
+
+    a = np.asarray(want)
+    b = np.asarray(got, np.float32)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_int8_plan_validation():
+    """Non-suffix plans and malformed plan strings are rejected."""
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    with pytest.raises(ValueError, match="suffix"):
+        ResNeXt50(trunk_int8=(True, False, True, True))._int8_plan(True)
+    with pytest.raises(ValueError, match="entries"):
+        ResNeXt50(trunk_int8=(True,))._int8_plan(True)
+    assert ResNeXt50(trunk_int8="0,0,1,1")._int8_plan(True) == (
+        False, False, True, True)
+    assert ResNeXt50(trunk_int8=True)._int8_plan(True) == (True,) * 4

@@ -1,0 +1,66 @@
+"""Space-to-depth stem (models/vision_resnext.ResNeXt50._stem_s2d): the
+7x7 stride-2 conv over 3 channels re-expressed as a 4x4 stride-1 conv
+over 12 s2d channels must compute the same convolution (same products,
+different summation order — exact in f32 on these magnitudes).
+
+Reference stem: torchvision resnext50 conv1 (7x7, stride 2, padding 3),
+loaded by the reference at multimodal/multimodal.py:128-173.
+"""
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def s2d_conv(x, w7):
+    """Mirror of ResNeXt50._stem_s2d with an explicit kernel."""
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // 2, w // 2, 4 * c)
+    wp = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w4 = jnp.transpose(
+        wp.reshape(4, 2, 4, 2, c, w7.shape[-1]), (0, 2, 1, 3, 4, 5)
+    ).reshape(4, 4, 4 * c, w7.shape[-1])
+    return jax.lax.conv_general_dilated(
+        xs, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_s2d_stem_matches_7x7_stride2():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    w7 = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32))
+
+    want = jax.lax.conv_general_dilated(
+        x, w7, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_conv(x, w7)
+
+    assert got.shape == want.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_s2d_stem_in_model_matches_plain_conv(monkeypatch):
+    """The model-level gate: bf16 trunk with MMB_S2D_STEM on vs off gives
+    the same stem output (checked through bn1+relu+pool via the conv
+    path's first feature map is overkill — compare the stem conv itself
+    through a tiny ResNeXt50 head by toggling the env)."""
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    m = ResNeXt50(dtype=jnp.bfloat16, fused_trunk=False)
+    monkeypatch.setenv("MMB_S2D_STEM", "1")  # opt-in (default off)
+    v = m.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16), train=False)
+    a = m.apply(v, x.astype(jnp.bfloat16), train=False)["pooled"]
+    monkeypatch.setenv("MMB_S2D_STEM", "0")
+    b = m.apply(v, x.astype(jnp.bfloat16), train=False)["pooled"]
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               rtol=2e-2, atol=2e-2)
