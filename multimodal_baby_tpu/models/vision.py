@@ -13,6 +13,7 @@ reference's ``requires_grad=False`` loop (multimodal.py:39-43).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -53,7 +54,17 @@ class VisionEncoder(nn.Module):
         if v.backbone == "toy":
             self.backbone = TinyConvNet(name="backbone")
         elif v.vit_dino:
-            self.backbone = vit_base(patch_size=14, dtype=self.dtype)
+            # MMB_VIT_INT8=1: int8 MXU matmuls for the 48 frozen block
+            # Denses (2x MXU rate — perf_xla_int8.py: 317 vs 201 T/s).
+            # Refused when finetuning: int8_dense has zero gradient.
+            vit_int8 = os.environ.get("MMB_VIT_INT8", "0") == "1"
+            if vit_int8 and v.finetune_cnn:
+                raise ValueError(
+                    "MMB_VIT_INT8=1 requires a frozen ViT trunk "
+                    "(finetune_cnn=False): the int8 matmul path is "
+                    "non-differentiable.")
+            self.backbone = vit_base(patch_size=14, dtype=self.dtype,
+                                     int8=vit_int8)
         else:
             # dense_groups: grouped-conv layout reshapes eliminated; safe
             # only when the trunk is frozen (see BottleneckX docstring)

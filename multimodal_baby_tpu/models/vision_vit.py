@@ -22,11 +22,45 @@ import jax
 import jax.numpy as jnp
 
 
+class QuantizableDense(nn.Dense):
+    """``nn.Dense`` with an opt-in int8 MXU path for FROZEN trunks.
+
+    The parameter tree ("kernel"/"bias", f32) is identical to ``nn.Dense``
+    so checkpoints are interchangeable; only the compute path changes.
+    With ``int8=True`` the matmul runs via ``ops.quant.int8_dense``
+    (dynamic per-tensor activation scale, per-output-channel weight
+    scale, int8 ``dot_general`` that XLA lowers to the MXU's 2x int8
+    rate). The quantization uses ``round`` and therefore has zero
+    gradient — callers must gate on the trunk being frozen.
+    """
+
+    int8: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        if self.int8:
+            from multimodal_baby_tpu.ops.quant import int8_dense
+            return int8_dense(x, kernel, bias,
+                              out_dtype=self.dtype or x.dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class ViTAttention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False):
@@ -35,8 +69,8 @@ class ViTAttention(nn.Module):
         head_dim = C // H
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv",
-                       dtype=self.dtype)(x)
+        qkv = QuantizableDense(3 * C, use_bias=self.qkv_bias, name="qkv",
+                               dtype=self.dtype, int8=self.int8)(x)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
@@ -64,7 +98,8 @@ class ViTAttention(nn.Module):
             if return_attention:
                 return attn
             y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
-        return nn.Dense(C, name="proj", dtype=self.dtype)(y)
+        return QuantizableDense(C, name="proj", dtype=self.dtype,
+                                int8=self.int8)(y)
 
 
 class ViTBlock(nn.Module):
@@ -73,6 +108,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False):
@@ -83,12 +119,13 @@ class ViTBlock(nn.Module):
                                 self.dtype, name="attn")(
                                     y, return_attention=True)
         x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
-                             self.dtype, name="attn")(y)
+                             self.dtype, int8=self.int8, name="attn")(y)
         h = ln(name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1",
-                     dtype=self.dtype)(h)
+        h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
+                             dtype=self.dtype, int8=self.int8)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="fc2", dtype=self.dtype)(h)
+        h = QuantizableDense(self.dim, name="fc2", dtype=self.dtype,
+                             int8=self.int8)(h)
         return x + h
 
 
@@ -101,6 +138,11 @@ class VisionTransformerDino(nn.Module):
     qkv_bias: bool = True
     base_img_size: int = 224  # grid size the pos_embed was trained at
     dtype: Any = None  # compute dtype (params stay f32)
+    # int8 MXU matmuls for the 48 block Denses (dynamic activation quant,
+    # per-channel weight quant — ops/quant.int8_dense). FROZEN trunks
+    # only: the quantization is non-differentiable by design. Gated in
+    # VisionEncoder.setup on `not finetune_cnn` + MMB_VIT_INT8=1.
+    int8: bool = False
 
     def setup(self):
         self.patch_proj = nn.Conv(
@@ -114,7 +156,8 @@ class VisionTransformerDino(nn.Module):
             "pos_embed", init, (1, n + 1, self.embed_dim))
         self.blocks = [
             ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                     self.qkv_bias, self.dtype, name=f"block{i}")
+                     self.qkv_bias, self.dtype, int8=self.int8,
+                     name=f"block{i}")
             for i in range(self.depth)]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm",
                                  dtype=self.dtype)
@@ -176,10 +219,11 @@ class VisionTransformerDino(nn.Module):
         return out
 
 
-def vit_base(patch_size: int = 14, dtype=None) -> VisionTransformerDino:
+def vit_base(patch_size: int = 14, dtype=None,
+             int8: bool = False) -> VisionTransformerDino:
     return VisionTransformerDino(
         patch_size=patch_size, embed_dim=768, depth=12, num_heads=12,
-        dtype=dtype)
+        dtype=dtype, int8=int8)
 
 
 def vit_small(patch_size: int = 16, dtype=None) -> VisionTransformerDino:

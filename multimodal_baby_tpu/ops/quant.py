@@ -193,3 +193,41 @@ def with_unit_scales(fw: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     if "wd" not in fw and "ai" not in out:
         out["ai"] = jnp.ones((fw["w3"].shape[-1],), jnp.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# int8 Dense for frozen transformer trunks (the ViT path)
+# ---------------------------------------------------------------------------
+#
+# Unlike the ResNeXt trunk (Pallas kernels, static calibrated ranges),
+# the ViT runs its matmuls through XLA, whose int8 dot_general hits the
+# v5e MXU's 2x int8 rate directly (scripts/perf_xla_int8.py: 317 vs
+# 201 T/s at ViT-B shapes). Activations are quantized DYNAMICALLY with a
+# per-tensor amax computed on the fly — the reduction fuses into the
+# producing op (LayerNorm/GELU), so there is no calibration machinery
+# and no stale-range risk; weights are per-output-channel symmetric,
+# quantized from the f32 params in-graph (loop-invariant for a frozen
+# trunk, so XLA hoists the quantization out of the step loop).
+
+def int8_dense(x, kernel, bias=None, out_dtype=None):
+    """y = x @ kernel (+ bias) with an int8 MXU dot.
+
+    x: [..., K] float; kernel: [K, N] f32/bf16 param; per-output-channel
+    symmetric weight int8, per-tensor dynamic symmetric activation int8,
+    f32 epilogue. Intended for FROZEN weights: jnp.round's zero gradient
+    makes the quantization non-differentiable by design."""
+    xf = x.astype(jnp.float32)
+    w_scale = jnp.maximum(
+        jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(kernel.astype(jnp.float32) / w_scale),
+                   -127, 127).astype(jnp.int8)
+    a = jnp.max(jnp.abs(xf))
+    a_scale = jnp.maximum(a, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (w_scale * a_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype or x.dtype)

@@ -231,3 +231,81 @@ def test_int8_plan_validation():
     assert ResNeXt50(trunk_int8="0,0,1,1")._int8_plan(True) == (
         False, False, True, True)
     assert ResNeXt50(trunk_int8=True)._int8_plan(True) == (True,) * 4
+
+
+# ---------------------------------------------------------------------------
+# int8 ViT path (ops/quant.int8_dense + models/vision_vit.QuantizableDense)
+# ---------------------------------------------------------------------------
+
+def test_int8_dense_matches_f32():
+    """Dynamic per-tensor activation + per-channel weight int8 matmul vs
+    the f32 matmul: relative error bounded by the quantization grid."""
+    from multimodal_baby_tpu.ops.quant import int8_dense
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 768), jnp.float32)
+    w = jnp.asarray(rng.randn(768, 512) / np.sqrt(768), jnp.float32)
+    b = jnp.asarray(rng.randn(512) * 0.1, jnp.float32)
+
+    want = np.asarray(x @ w + b)
+    got = np.asarray(int8_dense(x, w, b, out_dtype=jnp.float32))
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.02, rel
+
+
+def test_quantizable_dense_param_tree_and_f32_path():
+    """QuantizableDense keeps nn.Dense's exact parameter tree (checkpoints
+    interchangeable) and with int8=False reproduces nn.Dense bit-exactly."""
+    import flax.linen as nn
+
+    from multimodal_baby_tpu.models.vision_vit import QuantizableDense
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 64), jnp.float32)
+
+    ref = nn.Dense(32, name="d")
+    q = QuantizableDense(32, name="d", int8=False)
+    vs = ref.init(jax.random.PRNGKey(0), x)
+    vs_q = q.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(
+        vs_q)
+    np.testing.assert_array_equal(np.asarray(ref.apply(vs, x)),
+                                  np.asarray(q.apply(vs, x)))
+
+
+def test_int8_vit_cosine():
+    """Small ViT, int8 blocks vs f32 blocks on the same params: cls/patch
+    outputs stay ~parallel (48 Denses quantize independently; per-channel
+    weight scales keep error ~per-layer-bounded)."""
+    from multimodal_baby_tpu.models.vision_vit import VisionTransformerDino
+
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randn(2, 56, 56, 3), jnp.float32)
+
+    kw = dict(patch_size=14, embed_dim=96, depth=3, num_heads=4,
+              base_img_size=56)
+    ref = VisionTransformerDino(**kw)
+    vs = ref.init(jax.random.PRNGKey(0), imgs)
+    want = np.asarray(ref.apply(vs, imgs))
+
+    q = VisionTransformerDino(**kw, int8=True)
+    got = np.asarray(q.apply(vs, imgs), np.float32)
+
+    cos = (want * got).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_vit_int8_requires_frozen_trunk(monkeypatch):
+    """MMB_VIT_INT8=1 with finetune_cnn=True must be refused: the int8
+    matmul has zero gradient (jnp.round), so finetuning would silently
+    train nothing."""
+    from multimodal_baby_tpu.core.config import ModelConfig, VisionConfig
+    from multimodal_baby_tpu.models.vision import VisionEncoder
+
+    monkeypatch.setenv("MMB_VIT_INT8", "1")
+    cfg = ModelConfig(vision=VisionConfig(vit_dino=True, finetune_cnn=True))
+    enc = VisionEncoder(cfg)
+    imgs = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    with pytest.raises(ValueError, match="frozen"):
+        enc.init(jax.random.PRNGKey(0), imgs)
