@@ -153,7 +153,9 @@ def make_one_step(model, optimizer, extra_cols=None):
     def one_step(frozen_flat, carry, key, image_u8, text, text_len):
         tp, batch_stats, opt_state = carry
         imgs = augment_batch(key, image_u8, augment=True,
-                             dtype=jnp.bfloat16)
+                             dtype=jnp.bfloat16,
+                             s2d=os.environ.get("MMB_SPLIT_STEM",
+                                                "0") == "1")
 
         def loss_fn(tp):
             p = traverse_util.unflatten_dict(

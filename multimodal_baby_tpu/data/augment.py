@@ -86,29 +86,50 @@ def _blur_matrices(key_p, key_s, batch: int, size: int) -> jax.Array:
     return jnp.where(do_blur[:, None, None], g, eye)
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] in (i, j, c) channel order —
+    the layout the s2d stem consumes (models/vision_resnext.py)."""
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // 2, w // 2, 4 * c)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("out_size", "augment", "dtype"))
+                   static_argnames=("out_size", "augment", "dtype", "s2d"))
 def augment_batch(
     key: jax.Array,
     images: jax.Array,  # [B, H, W, 3] uint8
     out_size: int = 224,
     augment: bool = True,
     dtype=jnp.float32,
+    s2d: bool = False,
 ) -> jax.Array:
     """Full train-time pipeline: RandomResizedCrop + GaussianBlur(p=.5) +
     HFlip + ImageNet normalize. Returns [B, out, out, 3] in ``dtype``
     (pass bf16 on the train hot path: the trunk computes in bf16 anyway,
-    and the normalize affine fuses into the last resample matmul)."""
+    and the normalize affine fuses into the last resample matmul).
+
+    s2d=True emits the space-to-depth layout [B, out/2, out/2, 12]
+    ((i, j, c) channel order) that the 4x4 stem consumes — FOR FREE on
+    the augmented path: the composed row/col resample matrices are
+    sliced into even/odd output taps (pure row slicing) and the 4
+    half-sized einsums write the s2d slots directly, so no layout
+    transpose ever touches the image tensor (the transpose was what
+    sank the round-3 MMB_S2D_STEM experiment, BENCH_NOTES)."""
     B, H, W, _ = images.shape
     if not augment:
         if (H, W) == (out_size, out_size):
-            return normalize_image(images).astype(dtype)
-        x = images.astype(jnp.float32)
-        if images.dtype == jnp.uint8:
-            x = x / 255.0
-        x = jax.image.resize(
-            x, (B, out_size, out_size, 3), method="bilinear")
-        return normalize_image(x).astype(dtype)
+            x = normalize_image(images).astype(dtype)
+        else:
+            x = images.astype(jnp.float32)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0
+            x = jax.image.resize(
+                x, (B, out_size, out_size, 3), method="bilinear")
+            x = normalize_image(x).astype(dtype)
+        # eval/init path is not perf-critical: explicit transpose is fine
+        return space_to_depth(x) if s2d else x
 
     k_crop, k_blur_p, k_blur_s, k_flip = jax.random.split(key, 4)
 
@@ -146,9 +167,20 @@ def augment_batch(
         f = f / 255.0
     # bf16 is ample precision for resampling 8-bit pixels; halves traffic
     f = f.astype(jnp.bfloat16)
-    x = jnp.einsum("bph,bhwc->bpwc", a_row, f)
-    x = jnp.einsum("bsw,bpwc->bpsc", a_col, x)
     # per-channel normalize affine fuses into the einsum epilogue
     mean = jnp.asarray(IMAGENET_MEAN, dtype)
     std = jnp.asarray(IMAGENET_STD, dtype)
+    if s2d:
+        # even/odd row/col taps as separate half-einsums: x_ij is exactly
+        # s2d slot (i, j); channel-concat gives the (i, j, c) order with
+        # zero transposes (same total FLOPs as the 2-einsum path)
+        rows = [jnp.einsum("bph,bhwc->bpwc", a_row[:, i::2], f)
+                for i in range(2)]
+        slots = [
+            (jnp.einsum("bsw,bpwc->bpsc", a_col[:, j::2],
+                        rows[i]).astype(dtype) - mean) / std
+            for i in range(2) for j in range(2)]
+        return jnp.concatenate(slots, axis=-1)
+    x = jnp.einsum("bph,bhwc->bpwc", a_row, f)
+    x = jnp.einsum("bsw,bpwc->bpsc", a_col, x)
     return (x.astype(dtype) - mean) / std

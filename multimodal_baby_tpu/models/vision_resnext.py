@@ -443,13 +443,19 @@ class ResNeXt50(nn.Module):
         xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
         xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
             b, h // 2, w // 2, 4 * c)
+        return self._stem_from_s2d(xs)
+
+    def _stem_from_s2d(self, xs: jax.Array) -> jax.Array:
+        """4x4/s1 stem conv on an already space-to-depth input
+        [B, 112, 112, 12] ((i, j, c) order — data/augment.space_to_depth
+        or the free split-einsum emit in augment_batch(s2d=True))."""
         # kernel: [7,7,3,64] -> pad to [8,8] (tap index d = 2k + i - 1;
         # d = -1 is the zero row/col) -> [4, 2, 4, 2, 3, 64] -> [4,4,12,64]
         w7 = _GroupedKernel((7, 7, 3, 64), name="conv1")()
         wp = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
         w4 = jnp.transpose(
             wp.reshape(4, 2, 4, 2, 3, 64), (0, 2, 1, 3, 4, 5)
-        ).reshape(4, 4, 12, 64).astype(x.dtype)
+        ).reshape(4, 4, 12, 64).astype(xs.dtype)
         return jax.lax.conv_general_dilated(
             xs, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -468,7 +474,11 @@ class ResNeXt50(nn.Module):
         # round 3) — XLA's s2d input transpose + its lowering of the
         # 4x4 conv cost more than the alignment saves. MMB_S2D_STEM=1
         # re-enables for future re-evaluation.
-        if dt == jnp.bfloat16 and x.shape[1] % 2 == 0 \
+        if x.shape[-1] == 12:
+            # pre-space-to-depth input (augment_batch(s2d=True): the split
+            # resample einsums emit this layout with zero transposes)
+            y = self._stem_from_s2d(x)
+        elif dt == jnp.bfloat16 and x.shape[1] % 2 == 0 \
                 and x.shape[2] % 2 == 0 \
                 and os.environ.get("MMB_S2D_STEM", "0") == "1":
             y = self._stem_s2d(x, dt)

@@ -18,6 +18,7 @@ reference is single-GPU):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -87,9 +88,14 @@ def make_loss_fn(model, cfg: ExperimentConfig,
             aug_dtype = (jnp.bfloat16
                          if cfg.parallel.compute_dtype == "bfloat16"
                          else jnp.float32)
+            # MMB_SPLIT_STEM=1: emit the space-to-depth layout straight
+            # from the resample einsums (free) and run the 4x4 stem —
+            # ResNeXt trunks only (the ViT consumes 224x3 patches)
+            s2d = (os.environ.get("MMB_SPLIT_STEM", "0") == "1"
+                   and cfg.model.vision.backbone == "resnext50")
             image = augment_batch(
                 rng_aug, batch["image_u8"],
-                augment=augment_frames and train, dtype=aug_dtype)
+                augment=augment_frames and train, dtype=aug_dtype, s2d=s2d)
 
         variables = {"params": params, "batch_stats": batch_stats,
                      **extra_cols}

@@ -64,3 +64,82 @@ def test_s2d_stem_in_model_matches_plain_conv(monkeypatch):
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_augment_s2d_matches_space_to_depth():
+    """augment_batch(s2d=True): the split-einsum emit must equal
+    space_to_depth(augment_batch(...)) up to bf16 accumulation-order ulp
+    (identical sampling: same key -> same crop/blur/flip draws)."""
+    from multimodal_baby_tpu.data.augment import (
+        augment_batch, space_to_depth)
+
+    rng = np.random.RandomState(2)
+    frames = jnp.asarray(rng.randint(0, 256, (4, 64, 64, 3)), jnp.uint8)
+    key = jax.random.PRNGKey(3)
+    x = augment_batch(key, frames, out_size=32, augment=True,
+                      dtype=jnp.float32)
+    x12 = augment_batch(key, frames, out_size=32, augment=True,
+                        dtype=jnp.float32, s2d=True)
+    assert x12.shape == (4, 16, 16, 12)
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(x)), np.asarray(x12), atol=0.05)
+
+    # eval path (augment=False) too
+    xe = augment_batch(key, frames, out_size=32, augment=False)
+    xe12 = augment_batch(key, frames, out_size=32, augment=False, s2d=True)
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(xe)), np.asarray(xe12), atol=1e-6)
+
+
+def test_model_consumes_s2d_input(monkeypatch):
+    """ResNeXt50 on a pre-s2d 12-channel input == the 224x3 path on the
+    same params (init on 3-channel, apply on 12-channel — the split-stem
+    deployment shape)."""
+    from multimodal_baby_tpu.data.augment import space_to_depth
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    m = ResNeXt50(dtype=jnp.bfloat16, fused_trunk=False)
+    v = m.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16), train=False)
+    a = m.apply(v, x.astype(jnp.bfloat16), train=False)["pooled"]
+    b = m.apply(v, space_to_depth(x).astype(jnp.bfloat16),
+                train=False)["pooled"]
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_train_step_split_stem(monkeypatch):
+    """One train step with MMB_SPLIT_STEM=1 runs and produces a finite
+    loss (augment emits s2d, trunk consumes it)."""
+    monkeypatch.setenv("MMB_SPLIT_STEM", "1")
+    import optax
+
+    from multimodal_baby_tpu.core.config import (
+        ExperimentConfig, ModelConfig, TrainConfig, VisionConfig)
+    from multimodal_baby_tpu.models import CVCL
+    from multimodal_baby_tpu.train.step import make_loss_fn
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(embedding_dim=16, vocab_size=50,
+                          vision=VisionConfig()),
+        train=TrainConfig())
+    model = CVCL(cfg.model)
+    rng = np.random.RandomState(4)
+    batch = {
+        "image_u8": jnp.asarray(rng.randint(0, 256, (4, 64, 64, 3)),
+                                jnp.uint8),
+        "text": jnp.asarray(rng.randint(4, 50, (4, 8)), jnp.int32),
+        "text_len": jnp.asarray([5, 6, 7, 8], jnp.int32),
+    }
+    # param shapes are size-independent: init small to keep the test fast
+    init_img = jnp.zeros((4, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), init_img,
+                           batch["text"], batch["text_len"])
+    loss_fn = make_loss_fn(model, cfg)
+    (loss, _), _ = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables["params"],
+                               variables.get("batch_stats", {}),
+                               batch, jax.random.PRNGKey(1), True)
+    assert np.isfinite(float(loss))
