@@ -535,11 +535,14 @@ class ResNeXt50(nn.Module):
     #   "split"    — stride-2 head block alone + "full" for the tail
     #   "bandedN"  — whole stage, banded over N output rows per grid cell
     # Override with MMB_TRUNK_PLAN="banded14,blocks,split,full"-style.
-    # Default = measured-best on v5e at B=256 (bench A/B, BENCH_NOTES.md):
-    # per-block kernels for the large-spatial stages, stride-2 head block
-    # + whole-stage-in-VMEM tail for layer 3, the whole of layer 4 (head
-    # included) in one in-VMEM call.
-    fused_plan: Tuple[str, ...] = ("blocks", "blocks", "split", "full")
+    # Default = measured-best on v5e at B=1024 under the mixed-precision
+    # plan (bench A/B, BENCH_NOTES.md): 28-row bands through all of
+    # layer 1 in VMEM, per-block kernels for layer 2, stride-2 head
+    # block + whole-stage-in-VMEM tail for layer 3, the whole of layer 4
+    # (head included) in one in-VMEM call. bandedN falls back to blocks
+    # when N does not tile the stage's output rows (small eval images),
+    # and int8 stages demote banded to blocks (bf16-only kernels).
+    fused_plan: Tuple[str, ...] = ("banded28", "blocks", "split", "full")
 
     def _fused_stages(self, y: jax.Array,
                       quant_plan: Tuple[bool, ...] = (False,) * 4,
@@ -658,7 +661,13 @@ class ResNeXt50(nn.Module):
                     y = fused_stage_hwbc(y, fws[1:], strides[1:])
                 elif mode.startswith("banded"):
                     hh = int(mode[6:]) if len(mode) > 6 else 14
-                    y = fused_stage_banded(y, fws, strides, hh=hh)
+                    ho = y.shape[0] // strides[0]
+                    hh = min(hh, ho)
+                    if ho % hh:  # band must tile the output rows
+                        for fw, s in zip(fws, strides):
+                            y = fused_bottleneck_hwbc(y, fw, stride=s)
+                    else:
+                        y = fused_stage_banded(y, fws, strides, hh=hh)
                 else:
                     raise ValueError(f"unknown fused-trunk mode {mode!r}")
 
