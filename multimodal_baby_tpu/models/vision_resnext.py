@@ -108,10 +108,13 @@ class BottleneckX(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False,
                  fold_in_channels: int | None = None,
                  quant_in_amax: jax.Array | None = None,
+                 transport_in_amax: jax.Array | None = None,
                  amax_chain: jax.Array | None = None) -> Any:
         if fold_in_channels is not None:
             if quant_in_amax is not None:
                 return self._fold_q(fold_in_channels, quant_in_amax)
+            if transport_in_amax is not None:
+                return self._fold_t(fold_in_channels, transport_in_amax)
             return self._fold(fold_in_channels, amax_chain=amax_chain)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
@@ -264,6 +267,47 @@ class BottleneckX(nn.Module):
         fw = jax.tree.map(jax.lax.stop_gradient, fw)
         return fw, jax.lax.stop_gradient(out_amax)
 
+    def _fold_t(self, in_channels: int, in_amax: jax.Array):
+        """int8-TRANSPORT fold: activations cross HBM as int8 but the
+        dots run in the compute dtype (ops/quant.fold_block_params_t —
+        the DMA saving without the Mosaic int8-dot and requant-epilogue
+        givebacks). Declares the same parameters as the conv path plus
+        only the out_amax range variable (no h1/h2 ranges: intermediates
+        stay bf16 in VMEM). Returns (fw_t, out_amax)."""
+        from multimodal_baby_tpu.ops.quant import (
+            bn_amax_bound, fold_block_params_t)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * EXPANSION
+
+        params = {
+            "conv1": {"kernel": _GroupedKernel(
+                (1, 1, in_channels, width), name="conv1")()},
+            "conv2": {"kernel": _GroupedKernel(
+                (3, 3, width // self.groups, width), name="conv2")()},
+            "conv3": {"kernel": _GroupedKernel(
+                (1, 1, width, out_ch), name="conv3")()},
+        }
+        stats = {}
+        bns = {}
+        for name, c in (("bn1", width), ("bn2", width), ("bn3", out_ch)):
+            bns[name], stats[name] = InferenceBN(c, name=name).raw()
+            params[name] = bns[name]
+        if self.has_downsample:
+            params["downsample_conv"] = {"kernel": _GroupedKernel(
+                (1, 1, in_channels, out_ch), name="downsample_conv")()}
+            params["downsample_bn"], stats["downsample_bn"] = InferenceBN(
+                out_ch, name="downsample_bn").raw()
+
+        v_out = self.variable("quant_scales", "out_amax",
+                              lambda: jnp.zeros((), jnp.float32))
+        out_amax = jnp.where(v_out.value > 0, v_out.value,
+                             bn_amax_bound(bns["bn3"]) + in_amax)
+        fw = fold_block_params_t(
+            params, stats, in_amax=in_amax, out_amax=out_amax,
+            compute_dtype=self.dtype or jnp.float32, groups=self.groups)
+        fw = jax.tree.map(jax.lax.stop_gradient, fw)
+        return fw, jax.lax.stop_gradient(out_amax)
+
     def _packed_fgc(self) -> int:
         dg = self.dense_groups
         if dg is True:
@@ -363,31 +407,51 @@ class ResNeXt50(nn.Module):
     # on v5e (scripts/perf_hwbc_int8.py): int8 wins ~30-35% on the
     # weight/MXU-bound layers 3-4 but nothing on the activation-DMA-bound
     # layers 1-2, so the recommended mixed plan is (0, 0, 1, 1).
-    # Override with MMB_TRUNK_INT8=0 / 1 / "0,0,1,1".
+    # A "t" entry runs a stage in int8 TRANSPORT mode: activations cross
+    # HBM as int8 (half the DMA bytes) but every dot stays bf16 — aimed
+    # at the activation-DMA-bound layers 1-2 where full int8 gave
+    # nothing back (ops/quant.fold_block_params_t).
+    # Override with MMB_TRUNK_INT8=0 / 1 / "0,0,1,1" / "t,t,1,1".
     trunk_int8: Any = False
 
-    def _int8_plan(self, ura: bool) -> Tuple[bool, ...]:
-        """Per-stage int8 plan (4 bools); all-False = bf16 trunk."""
+    def _int8_plan(self, ura: bool) -> Tuple[Any, ...]:
+        """Per-stage int8 plan: each entry False (bf16), "q" (full int8
+        dots) or "t" (int8 transport, bf16 dots); all-False = bf16
+        trunk."""
         n = len(RESNEXT50_STAGES)
         env = os.environ.get("MMB_TRUNK_INT8")
         raw = env if env is not None else self.trunk_int8
+
+        def tok(p):
+            if isinstance(p, str):
+                p = p.strip()
+                if p in ("t", "q"):
+                    return p
+                if p in ("1", "true", "True"):
+                    return "q"
+                if p in ("0", "false", "False", ""):
+                    return False
+                raise ValueError(
+                    f"int8-plan entry must be 0/1/t/q, got {p!r}")
+            return "q" if p else False
+
         if isinstance(raw, str):
             if "," in raw:
                 parts = raw.split(",")
                 if len(parts) != n:
                     raise ValueError(
                         f"MMB_TRUNK_INT8 plan needs {n} comma-separated "
-                        f"0/1 entries, got {raw!r}")
-                plan = tuple(p.strip() == "1" for p in parts)
+                        f"0/1/t entries, got {raw!r}")
+                plan = tuple(tok(p) for p in parts)
             else:
-                plan = (raw == "1",) * n
+                plan = (tok(raw),) * n
         elif isinstance(raw, (tuple, list)):
-            plan = tuple(bool(p) for p in raw)
-            if len(plan) != n:
+            if len(raw) != n:
                 raise ValueError(
                     f"trunk_int8 plan needs {n} entries, got {raw!r}")
+            plan = tuple(tok(p) for p in raw)
         else:
-            plan = (bool(raw),) * n
+            plan = (tok(raw),) * n
         # int8 stages must form a contiguous suffix: the chain switches
         # layout/dtype once (bf16/bsub16 -> int8/bsub32) and never back
         for a, b in zip(plan, plan[1:]):
@@ -541,11 +605,13 @@ class ResNeXt50(nn.Module):
     # block + whole-stage-in-VMEM tail for layer 3, the whole of layer 4
     # (head included) in one in-VMEM call. bandedN falls back to blocks
     # when N does not tile the stage's output rows (small eval images),
-    # and int8 stages demote banded to blocks (bf16-only kernels).
+    # and full-int8 ("q") stages demote banded to blocks (the banded
+    # kernel takes bf16/f32 dots only; int8-TRANSPORT stages stay
+    # banded).
     fused_plan: Tuple[str, ...] = ("banded28", "blocks", "split", "full")
 
     def _fused_stages(self, y: jax.Array,
-                      quant_plan: Tuple[bool, ...] = (False,) * 4,
+                      quant_plan: Tuple[Any, ...] = (False,) * 4,
                       stem_bn: Dict[str, jax.Array] | None = None,
                       mesh=None) -> Dict[str, jax.Array]:
         """Fused Pallas trunk: stem output [B, 56, 56, 64] -> pooled +
@@ -598,9 +664,12 @@ class ResNeXt50(nn.Module):
                     planes=planes, stride=s, has_downsample=needs_ds,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}")
-                if q_stage:
+                if q_stage == "q":
                     fw, in_amax = block(None, fold_in_channels=in_ch,
                                         quant_in_amax=in_amax)
+                elif q_stage == "t":
+                    fw, in_amax = block(None, fold_in_channels=in_ch,
+                                        transport_in_amax=in_amax)
                 elif any_q:
                     # bf16 stage ahead of an int8 one: thread the range
                     # chain (and declare out_amax so calibration lands)
@@ -614,8 +683,9 @@ class ResNeXt50(nn.Module):
                 strides.append(s)
                 in_ch = planes * EXPANSION
             mode = plan[stage_idx]
-            if q_stage and mode.startswith("banded"):
-                mode = "blocks"  # banded kernels are bf16-only
+            if q_stage == "q" and mode.startswith("banded"):
+                mode = "blocks"  # banded kernels can't run int8 DOTS
+                # (transport stages — int8 I/O, bf16 dots — stay banded)
             stage_fws.append(fws)
             stage_strides.append(strides)
             stage_modes.append(mode)

@@ -133,8 +133,12 @@ def _kernel(*refs,
     cout = w3_ref.shape[1]
     nb = w2_ref.shape[1]
     dt = out_ref.dtype
+    # int8-TRANSPORT mode (int8 I/O, bf16 weights/dots): intermediates
+    # and dot accumulation follow the WEIGHT dtype; only the final
+    # epilogue (keyed on the out dtype) round/clips back to int8
+    dt_mid = w1_ref.dtype
     BSUB = bsub
-    pref = jnp.int32 if dt == jnp.int8 else jnp.float32
+    pref = jnp.int32 if dt_mid == jnp.int8 else jnp.float32
     if n_h_static:
         i_h = ih_ref[0]
         n_h = n_h_static
@@ -153,13 +157,14 @@ def _kernel(*refs,
     # zero the W-pad columns (cols [0] and [W+1 .. Wp-1])
     for c in range(Wp):
         if c == 0 or c > W:
-            h1pad[:, :, c] = jnp.zeros((hin + 2, Bq, BSUB, width), dt)
+            h1pad[:, :, c] = jnp.zeros((hin + 2, Bq, BSUB, width), dt_mid)
 
     def conv1(v, rows):
         m = rows * Bq * W * BSUB
-        h = jnp.dot(v.reshape(m, cin), w1_ref[:],
+        # .astype is a no-op except in transport mode (int8 x -> bf16)
+        h = jnp.dot(v.reshape(m, cin).astype(dt_mid), w1_ref[:],
                     preferred_element_type=pref)
-        h = _requant(h, a1_ref[0], b1_ref[0], dt)
+        h = _requant(h, a1_ref[0], b1_ref[0], dt_mid)
         return h.reshape(rows, Bq, W, BSUB, width)
 
     # h1pad row r holds conv1 of input row (band_start - 1 + r)
@@ -173,12 +178,12 @@ def _kernel(*refs,
     # so overwrite the halo h1 rows with zeros there
     @pl.when(i_h == 0)
     def _():
-        h1pad[0] = jnp.zeros((Bq, Wp, BSUB, width), dt)
+        h1pad[0] = jnp.zeros((Bq, Wp, BSUB, width), dt_mid)
 
     if stride == 1:
         @pl.when(i_h == n_h - 1)
         def _():
-            h1pad[hin + 1] = jnp.zeros((Bq, Wp, BSUB, width), dt)
+            h1pad[hin + 1] = jnp.zeros((Bq, Wp, BSUB, width), dt_mid)
 
     def tap_slice(k0, b, t):
         dy, dx = divmod(t, 3)
@@ -208,7 +213,7 @@ def _kernel(*refs,
                 chunk = v.reshape(R, Bq, W // 2, 2, BSUB, width)[:, :, :, 0]
             reps = max(1, cout // width)
             out_ref[k0:k0 + R] = jnp.concatenate(
-                [chunk] * reps, axis=-1)[..., :cout]
+                [chunk] * reps, axis=-1)[..., :cout].astype(dt)
         return
 
     for k0 in range(0, hh, R):
@@ -232,7 +237,7 @@ def _kernel(*refs,
                 h2b = h2b + jnp.dot(tap_slice(k0, b, t), w2_ref[t, b],
                                     preferred_element_type=pref)
             h2b = _requant(h2b, a2_ref[0, b * BS:(b + 1) * BS],
-                           b2_ref[0, b * BS:(b + 1) * BS], dt)
+                           b2_ref[0, b * BS:(b + 1) * BS], dt_mid)
             if conv3_mode == "accum":
                 # conv3 folded in: consume h2 block while it's hot
                 # (skips the h2 VMEM round trip)
@@ -256,7 +261,7 @@ def _kernel(*refs,
             xid = v.reshape(R, Bq, Wo, 2, BSUB, cin)[:, :, :, 0].reshape(
                 m, cin)
         if has_ds:
-            ident = jnp.dot(xid, wd_ref[:],
+            ident = jnp.dot(xid.astype(dt_mid), wd_ref[:],
                             preferred_element_type=pref
                             ).astype(jnp.float32) * ad_ref[0] + bd_ref[0]
         else:
@@ -381,8 +386,8 @@ def fused_bottleneck_hwbc(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, bsub, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((hin + 2, Bq, Wp, bsub, width), x.dtype),
-            pltpu.VMEM((R, Bq, Wo, bsub, width), x.dtype),
+            pltpu.VMEM((hin + 2, Bq, Wp, bsub, width), fw["w1"].dtype),
+            pltpu.VMEM((R, Bq, Wo, bsub, width), fw["w1"].dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
@@ -527,8 +532,13 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
     out_ref = refs[1 + NW * n_blocks]
     h1pad, tA, tB, h2_scr = refs[2 + NW * n_blocks:]
     dt = out_ref.dtype
+    # int8-TRANSPORT mode (int8 I/O, bf16 weights/dots): intermediates
+    # follow the weight dtype (h1pad/h2_scr scratches are allocated in it
+    # by the caller); only the block-output epilogue (keyed on dt)
+    # round/clips back to int8
+    dt_mid = h1pad.dtype
     BSUB = bsub
-    pref = jnp.int32 if dt == jnp.int8 else jnp.float32
+    pref = jnp.int32 if dt_mid == jnp.int8 else jnp.float32
 
     Hj, Wj = x_ref.shape[0], W0          # current block input dims
     cur = x_ref
@@ -548,17 +558,19 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
         for c in range(Wp):
             if c == 0 or c > Wj:
                 h1pad[0:Hj + 2, :, c] = jnp.zeros(
-                    (Hj + 2, Bq, BSUB, width), dt)
-        h1pad[0] = jnp.zeros(h1pad.shape[1:], dt)
-        h1pad[Hj + 1] = jnp.zeros(h1pad.shape[1:], dt)
+                    (Hj + 2, Bq, BSUB, width), dt_mid)
+        h1pad[0] = jnp.zeros(h1pad.shape[1:], dt_mid)
+        h1pad[Hj + 1] = jnp.zeros(h1pad.shape[1:], dt_mid)
 
         # conv1 in row chunks (bounds the f32 pre-cast temp)
         for r0 in range(0, Hj, 8):
             rc = min(8, Hj - r0)
             m1 = rc * Bq * Wj * BSUB
-            h1 = jnp.dot(cur[r0:r0 + rc, :, 0:Wj].reshape(m1, cin), w1[:],
+            # .astype is a no-op except in transport mode (int8 -> bf16)
+            h1 = jnp.dot(cur[r0:r0 + rc, :, 0:Wj].reshape(
+                m1, cin).astype(dt_mid), w1[:],
                          preferred_element_type=pref)
-            h1 = _requant(h1, a1[0], b1[0], dt)
+            h1 = _requant(h1, a1[0], b1[0], dt_mid)
             h1pad[1 + r0:1 + r0 + rc, :, 1:Wj + 1] = h1.reshape(
                 rc, Bq, Wj, BSUB, width)
 
@@ -593,7 +605,7 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
                             for acc, b in zip(accs, pair)]
                 for acc, b in zip(accs, pair):
                     h2b = _requant(acc, a2[0, b * BS:(b + 1) * BS],
-                                   b2[0, b * BS:(b + 1) * BS], dt)
+                                   b2[0, b * BS:(b + 1) * BS], dt_mid)
                     h2_scr[0:R, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
                         h2b.reshape(R, Bq, Wo, BSUB, BS)
 
@@ -608,7 +620,8 @@ def _stage_kernel(*refs, strides, has_dss, W0, Bq, n_blocks,
                 xid = v.reshape(R, Bq, Wo, 2, BSUB, cin)[:, :, :, 0].reshape(
                     m, cin)
             if has_ds:
-                ident = jnp.dot(xid, wd[:], preferred_element_type=pref
+                ident = jnp.dot(xid.astype(dt_mid), wd[:],
+                                preferred_element_type=pref
                                 ).astype(jnp.float32) * ad[0] + bd[0]
             else:
                 ident = xid.astype(jnp.float32) * ai[0]
@@ -705,10 +718,13 @@ def fused_stage_hwbc(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, bsub, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((H + 2, Bq, W + 4, bsub, width), x.dtype),
+            # h1pad/h2 follow the WEIGHT dtype (transport mode: int8 I/O
+            # tensors, bf16 intermediates); block outputs (tA/tB) cross
+            # blocks in the I/O dtype
+            pltpu.VMEM((H + 2, Bq, W + 4, bsub, width), fws[0]["w1"].dtype),
             pltpu.VMEM((Ho, Bq, Wo, bsub, cout), x.dtype),
             pltpu.VMEM((Ho, Bq, Wo, bsub, cout), x.dtype),
-            pltpu.VMEM((7, Bq, Wo, bsub, width), x.dtype),
+            pltpu.VMEM((7, Bq, Wo, bsub, width), fws[0]["w1"].dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
@@ -739,29 +755,39 @@ def _stage_margins(strides):
 
 
 def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
-                   post, R):
-    """refs: pre x-halo rows, x_main, post x-halo rows, 8 weight refs per
+                   post, R, bsub: int = BSUB):
+    """refs: pre x-halo rows, x_main, post x-halo rows, 9 weight refs per
     block, out_ref, scratches (h1pad, tA, tB, h2_scr).
 
     metas[j] = (ext_in, ext_out, off_in, post_in, stride, has_ds).
     Tensor t_j carries ext_j rows: the hh aligned output rows plus the
     halo margins consumed by downstream 3x3 convs. Out-of-image halo rows
     at the first/last band are zeroed in each block's h1 (the only path
-    through which they influence aligned rows)."""
+    through which they influence aligned rows).
+
+    bf16 mode and int8-TRANSPORT mode share this body: in transport the
+    I/O dtype (dt) is int8 while intermediates follow the weight dtype
+    (dt_mid, from the h1pad scratch); the output-scale factors are folded
+    into w3/wd by the caller and the identity rides the per-block ai
+    coefficient, so the only transport-specific work is the int8->bf16
+    input convert and the round/clip epilogue."""
+    NW = 9
     x_halo_pre = refs[:pre]
     x_main = refs[pre]
     x_halo_post = refs[pre + 1:pre + 1 + post]
-    w_refs = refs[pre + 1 + post:pre + 1 + post + 8 * n_blocks]
-    out_ref = refs[pre + 1 + post + 8 * n_blocks]
-    h1pad, tA, tB, h2_scr = refs[pre + 2 + post + 8 * n_blocks:]
+    w_refs = refs[pre + 1 + post:pre + 1 + post + NW * n_blocks]
+    out_ref = refs[pre + 1 + post + NW * n_blocks]
+    h1pad, tA, tB, h2_scr = refs[pre + 2 + post + NW * n_blocks:]
     dt = out_ref.dtype
+    dt_mid = h1pad.dtype
+    BSUB = bsub
     i_h = pl.program_id(1)
     n_h = pl.num_programs(1)
 
     cur = None  # block 0 reads the x pieces directly
     Wj = W0
     for j in range(n_blocks):
-        (w1, b1, w2, b2, w3, b3, wd, bd) = w_refs[8 * j:8 * j + 8]
+        (w1, b1, w2, b2, w3, b3, wd, bd, ai) = w_refs[NW * j:NW * j + NW]
         ext_in, ext_out, off_in, post_in, stride, has_ds = metas[j]
         cin = w1.shape[0]
         nb = w2.shape[1]
@@ -773,13 +799,14 @@ def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
         for c in range(Wp):
             if c == 0 or c > Wj:
                 h1pad[0:ext_in, :, c] = jnp.zeros(
-                    (ext_in, Bq, BSUB, width), dt)
+                    (ext_in, Bq, BSUB, width), dt_mid)
 
         def conv1(v, rows, w1=w1, b1=b1, cin=cin, Wj=Wj):
             m = rows * Bq * Wj * BSUB
-            h = jnp.dot(v.reshape(m, cin), w1[:],
+            # .astype is a no-op except in transport mode (int8 -> bf16)
+            h = jnp.dot(v.reshape(m, cin).astype(dt_mid), w1[:],
                         preferred_element_type=jnp.float32)
-            return jnp.maximum(h + b1[0], 0.0).astype(dt).reshape(
+            return jnp.maximum(h + b1[0], 0.0).astype(dt_mid).reshape(
                 rows, Bq, Wj, BSUB, width)
 
         if j == 0:
@@ -803,12 +830,12 @@ def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
         @pl.when(i_h == 0)
         def _():
             for r in range(off_in):
-                h1pad[r] = jnp.zeros(h1pad.shape[1:], dt)
+                h1pad[r] = jnp.zeros(h1pad.shape[1:], dt_mid)
 
         @pl.when(i_h == n_h - 1)
         def _():
             for r in range(ext_in - post_in, ext_in):
-                h1pad[r] = jnp.zeros(h1pad.shape[1:], dt)
+                h1pad[r] = jnp.zeros(h1pad.shape[1:], dt_mid)
 
         def tap_slice(k0, b, t, Rc, stride=stride, Wj=Wj, Wo=Wo, Wp=Wp):
             dy, dx = divmod(t, 3)
@@ -834,7 +861,7 @@ def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
                                         preferred_element_type=jnp.float32)
                 h2b = jnp.maximum(h2b + b2[0, b * BS:(b + 1) * BS], 0.0)
                 h2_scr[0:Rc, :, 0:Wo, :, b * BS:(b + 1) * BS] = \
-                    h2b.astype(dt).reshape(Rc, Bq, Wo, BSUB, BS)
+                    h2b.astype(dt_mid).reshape(Rc, Bq, Wo, BSUB, BS)
 
             y = jnp.dot(h2_scr[0:Rc, :, 0:Wo].reshape(m, width), w3[:],
                         preferred_element_type=jnp.float32) + b3[0]
@@ -852,12 +879,17 @@ def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
                 xid = v.reshape(Rc, Bq, Wo, 2, BSUB, cin)[:, :, :, 0].reshape(
                     m, cin)
             if has_ds:
-                ident = jnp.dot(xid, wd[:],
+                ident = jnp.dot(xid.astype(dt_mid), wd[:],
                                 preferred_element_type=jnp.float32) + bd[0]
             else:
-                ident = xid.astype(jnp.float32)
-            tout[k0:k0 + Rc, :, 0:Wo] = jnp.maximum(
-                y + ident, 0.0).astype(dt).reshape(Rc, Bq, Wo, BSUB, cout)
+                ident = xid.astype(jnp.float32) * ai[0]
+            v_out = y + ident
+            if dt == jnp.int8:
+                v_out = jnp.clip(jnp.round(v_out), 0, 127)
+            else:
+                v_out = jnp.maximum(v_out, 0.0)
+            tout[k0:k0 + Rc, :, 0:Wo] = v_out.astype(dt).reshape(
+                Rc, Bq, Wo, BSUB, cout)
 
         cur, Wj = tout, Wo
 
@@ -889,7 +921,7 @@ def _gather_rows_s2(halo_pre, main, halo_post, pre, r0, Rc, Bq, Wj, cin):
     if pre <= r0 and r0 + 2 * Rc - 1 <= pre + nmain:
         v = main[r0 - pre:r0 - pre + 2 * Rc]
         return v.reshape(Rc, 2, *v.shape[1:])[:, 0].reshape(
-            Rc, v.shape[1], Wj // 2, 2, BSUB, cin)
+            Rc, v.shape[1], Wj // 2, 2, v.shape[3], cin)
     rows = []
     for i in range(Rc):
         r = r0 + 2 * i
@@ -900,7 +932,7 @@ def _gather_rows_s2(halo_pre, main, halo_post, pre, r0, Rc, Bq, Wj, cin):
         else:
             rows.append(halo_post[r - pre - nmain][:])
     v = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
-    return v.reshape(Rc, v.shape[1], Wj // 2, 2, BSUB, cin)
+    return v.reshape(Rc, v.shape[1], Wj // 2, 2, v.shape[3], cin)
 
 
 def fused_stage_banded(
@@ -913,16 +945,24 @@ def fused_stage_banded(
     R: int = 7,
     halo_source: jax.Array | None = None,
 ) -> jax.Array:
-    """Banded whole-stage: x [H, B/16, W, 16, Cin] -> out in 5D layout.
-    Bands of hh output rows flow through every block in VMEM; HBM sees the
-    stage input once (+ halo margins) and the stage output once.
+    """Banded whole-stage: x [H, B/bsub, W, bsub, Cin] -> out in 5D
+    layout (bsub 16 for bf16, 32 for int8-transport fws). Bands of hh
+    output rows flow through every block in VMEM; HBM sees the stage
+    input once (+ halo margins) and the stage output once.
+
+    Transport fws (ops/quant.fold_block_params_t) are accepted directly:
+    the per-channel output scales a3/ad fold into w3/wd here (pure scalar
+    rescale of bf16 weights), and the identity coefficient rides the ai
+    operand.
 
     halo_source: optional physically-distinct copy of x to feed the halo
     row streams from (perf experiment: Mosaic may serialize DMAs that
     alias one buffer)."""
     H, nBq, W, bsub, cin0 = x.shape
-    assert bsub == BSUB and Bc % BSUB == 0
-    Bq = Bc // BSUB
+    assert bsub in (16, 32)
+    if Bc % bsub:
+        Bc = bsub
+    Bq = Bc // bsub
     n_blocks = len(fws)
     width = fws[0]["w1"].shape[1]
     cout = fws[0]["w3"].shape[1]
@@ -947,14 +987,14 @@ def fused_stage_banded(
 
     def halo_spec(d):
         return pl.BlockSpec(
-            (1, Bq, W, BSUB, cin0),
+            (1, Bq, W, bsub, cin0),
             lambda ib, ih, d=d: (
                 jnp.clip(ih * hin + d, 0, H - 1), ib, 0, 0, 0),
             memory_space=pltpu.VMEM)
 
     in_specs = (
         [halo_spec(d) for d in range(-pre, 0)]
-        + [pl.BlockSpec((hin, Bq, W, BSUB, cin0),
+        + [pl.BlockSpec((hin, Bq, W, bsub, cin0),
                         lambda ib, ih: (ih, ib, 0, 0, 0),
                         memory_space=pltpu.VMEM)]
         + [halo_spec(hin + d) for d in range(post)])
@@ -967,20 +1007,31 @@ def fused_stage_banded(
                             memory_space=pltpu.VMEM)
 
     for fw in fws:
-        wd = fw.get("wd", jnp.zeros((8, BS), fw["w1"].dtype))
+        wdt = fw["w1"].dtype
+        # transport folds: a3/ad are per-channel output scales — fold
+        # them into the (bf16/f32) weights so the kernel epilogue stays
+        # a plain bias add; ai (identity scale) rides its own operand
+        w3 = fw["w3"]
+        if "a3" in fw:
+            w3 = (w3.astype(jnp.float32) * fw["a3"]).astype(wdt)
+        wd = fw.get("wd", jnp.zeros((8, BS), wdt))
+        if "wd" in fw and "ad" in fw:
+            wd = (wd.astype(jnp.float32) * fw["ad"]).astype(wdt)
         bd = fw.get("bd", jnp.zeros((BS,), jnp.float32))
+        ai = fw.get("ai", jnp.ones((cout,), jnp.float32))
         arrs = [fw["w1"], fw["b1"].reshape(1, -1), fw["w2"],
-                fw["b2"].reshape(1, -1), fw["w3"], fw["b3"].reshape(1, -1),
-                wd, bd.reshape(1, -1)]
+                fw["b2"].reshape(1, -1), w3, fw["b3"].reshape(1, -1),
+                wd, bd.reshape(1, -1), ai.reshape(1, -1)]
         operands.extend(arrs)
         in_specs.extend(wspec(a.shape) for a in arrs)
 
     kernel = functools.partial(
         _banded_kernel, metas=tuple(metas), hh=hh, W0=W, Bq=Bq,
-        n_blocks=n_blocks, width=width, cout=cout, pre=pre, post=post, R=R)
+        n_blocks=n_blocks, width=width, cout=cout, pre=pre, post=post, R=R,
+        bsub=bsub)
 
     ext_x = hin + pre + post
-    B = nBq * BSUB
+    B = nBq * bsub
     flops_img = 0
     wj, cj = W, cin0
     for fw, s, m in zip(fws, strides, metas):
@@ -996,15 +1047,18 @@ def fused_stage_banded(
         kernel,
         grid=(nBq // Bq, Ho // hh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((hh, Bq, Wo, BSUB, cout),
+        out_specs=pl.BlockSpec((hh, Bq, Wo, bsub, cout),
                                lambda ib, ih: (ih, ib, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, BSUB, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Ho, nBq, Wo, bsub, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((ext_x + 1, Bq, W + 4, BSUB, width), x.dtype),
-            pltpu.VMEM((max_t_ext, Bq, Wo, BSUB, cout), x.dtype),
-            pltpu.VMEM((max_t_ext, Bq, Wo, BSUB, cout), x.dtype),
-            pltpu.VMEM((R, Bq, Wo, BSUB, width), x.dtype),
+            # h1pad/h2 follow the WEIGHT dtype (transport: int8 I/O,
+            # bf16 intermediates); tA/tB cross blocks in the I/O dtype
+            pltpu.VMEM((ext_x + 1, Bq, W + 4, bsub, width),
+                       fws[0]["w1"].dtype),
+            pltpu.VMEM((max_t_ext, Bq, Wo, bsub, cout), x.dtype),
+            pltpu.VMEM((max_t_ext, Bq, Wo, bsub, cout), x.dtype),
+            pltpu.VMEM((R, Bq, Wo, bsub, width), fws[0]["w1"].dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
@@ -1015,25 +1069,32 @@ def fused_stage_banded(
     )(*operands)
 
 
+def _pick_reference(x: jax.Array, fw: Dict[str, jax.Array]):
+    """Oracle dispatch: bf16/f32 activations -> the plain fold oracle;
+    int8 activations with int8 weights -> the quantized oracle; int8
+    activations with bf16/f32 weights -> the int8-TRANSPORT oracle."""
+    from multimodal_baby_tpu.ops.quant import (
+        bottleneck_reference_q, bottleneck_reference_t)
+    if x.dtype != jnp.int8:
+        return bottleneck_reference
+    return (bottleneck_reference_q if fw["w1"].dtype == jnp.int8
+            else bottleneck_reference_t)
+
+
 def stage_reference(x: jax.Array, fws: list, strides: list) -> jax.Array:
     """Oracle: chain of XLA reference blocks in [B, H, W, C] layout."""
-    from multimodal_baby_tpu.ops.quant import bottleneck_reference_q
     bsub = x.shape[3]
-    ref = bottleneck_reference_q if x.dtype == jnp.int8 \
-        else bottleneck_reference
     y = from_hwbc(x)
     for fw, s in zip(fws, strides):
-        y = ref(y, fw, stride=s)
+        y = _pick_reference(x, fw)(y, fw, stride=s)
     return to_hwbc(y, bsub)
 
 
 def hwbc_reference(x: jax.Array, fw: Dict[str, jax.Array],
                    *, stride: int = 1) -> jax.Array:
     """Oracle: same math via the XLA reference in [B, H, W, C] layout
-    (int8 inputs dispatch to the quantized oracle)."""
-    from multimodal_baby_tpu.ops.quant import bottleneck_reference_q
-    ref = bottleneck_reference_q if x.dtype == jnp.int8 \
-        else bottleneck_reference
+    (int8 inputs dispatch to the quantized/transport oracle)."""
+    ref = _pick_reference(x, fw)
     return to_hwbc(ref(from_hwbc(x), fw, stride=stride), x.shape[3])
 
 

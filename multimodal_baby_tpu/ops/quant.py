@@ -133,6 +133,105 @@ def fold_block_params_q(
     return out
 
 
+def fold_block_params_t(
+    params: Dict,
+    stats: Dict,
+    in_amax: jax.Array,
+    out_amax: jax.Array,
+    compute_dtype=jnp.bfloat16,
+    groups: int = 32,
+) -> Dict[str, jax.Array]:
+    """BN-fold one BottleneckX block for int8 TRANSPORT: activations
+    cross HBM as int8 (half the DMA bytes — the binding constraint on
+    the large-spatial stages, BENCH_NOTES), but every dot runs in
+    ``compute_dtype`` (bf16), so there is no Mosaic int8-dot penalty and
+    no requant epilogue on h1/h2 (the two giveback terms that made the
+    full-int8 kernels flat-to-losing on layers 1-2,
+    scripts/perf_hwbc_int8.py / perf_int8_l1.py).
+
+    The input dequant folds into w1/wd (w *= s_in: the kernel converts
+    the int8 tile to bf16 and the scale rides in the weights); the
+    output quant folds into the conv3/downsample epilogue madd
+    (a3 = mul3th/s_out via 1/s_out here since BN is already folded into
+    w3; b3 = bias3/s_out) and the identity coefficient (ai = s_in/s_out)
+    — so the only extra VPU work vs the bf16 kernel is one int8->bf16
+    convert on the input tile and the round/clip on the output."""
+    def fold(bn_p, bn_s):
+        mul = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + 1e-5)
+        return mul, bn_p["bias"] - bn_s["mean"] * mul
+
+    s_in = jnp.maximum(in_amax, 1e-12) / 127.0
+    s_out = jnp.maximum(out_amax, 1e-12) / 127.0
+
+    out: Dict[str, jax.Array] = {}
+    mul1, add1 = fold(params["bn1"], stats["bn1"])
+    w1 = params["conv1"]["kernel"][0, 0] * mul1[None, :]
+    out["w1"] = (w1 * s_in).astype(compute_dtype)
+    out["b1"] = add1.astype(jnp.float32)
+
+    mul2, add2 = fold(params["bn2"], stats["bn2"])
+    w2 = params["conv2"]["kernel"] * mul2[None, None, None, :]
+    out["w2"] = pack_grouped_kernel(w2, groups).astype(compute_dtype)
+    out["b2"] = add2.astype(jnp.float32)
+
+    mul3, add3 = fold(params["bn3"], stats["bn3"])
+    w3 = params["conv3"]["kernel"][0, 0] * mul3[None, :]
+    out["w3"] = w3.astype(compute_dtype)
+    cout = w3.shape[1]
+    out["a3"] = jnp.full((cout,), 1.0, jnp.float32) / s_out
+    out["b3"] = (add3 / s_out).astype(jnp.float32)
+
+    if "downsample_conv" in params:
+        muld, addd = fold(params["downsample_bn"], stats["downsample_bn"])
+        wd = params["downsample_conv"]["kernel"][0, 0] * muld[None, :]
+        out["wd"] = (wd * s_in).astype(compute_dtype)
+        out["ad"] = jnp.full((cout,), 1.0, jnp.float32) / s_out
+        out["bd"] = (addd / s_out).astype(jnp.float32)
+    else:
+        out["ai"] = jnp.full((cout,), s_in / s_out, jnp.float32)
+    return out
+
+
+def bottleneck_reference_t(x_q: jax.Array, fw: Dict[str, jax.Array],
+                           *, stride: int = 1) -> jax.Array:
+    """XLA oracle for the transport block ([B, H, W, C] int8 layout):
+    int8 in/out, f32 compute with the transport-folded weights — the
+    exact math the fused kernel must reproduce (same shape conventions
+    as bottleneck_reference_q)."""
+    B, H, W, cin = x_q.shape
+    width = fw["w1"].shape[1]
+    nb = fw["w2"].shape[1]
+
+    x = x_q.astype(jnp.float32)
+    h1 = jnp.maximum(
+        x.reshape(-1, cin) @ fw["w1"].astype(jnp.float32) + fw["b1"], 0.0
+    ).reshape(B, H, W, width)
+
+    dense = jnp.zeros((9, width, width), jnp.float32)
+    for b in range(nb):
+        dense = dense.at[:, b * BS:(b + 1) * BS,
+                         b * BS:(b + 1) * BS].set(
+                             fw["w2"][:, b].astype(jnp.float32))
+    whwio = dense.reshape(3, 3, width, width)
+    dn = jax.lax.conv_dimension_numbers(
+        h1.shape, whwio.shape, ("NHWC", "HWIO", "NHWC"))
+    h2 = jnp.maximum(jax.lax.conv_general_dilated(
+        h1, whwio, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=dn) + fw["b2"], 0.0)
+
+    Ho, Wo = H // stride, W // stride
+    y = (h2.reshape(-1, width) @ fw["w3"].astype(jnp.float32)
+         ) * fw["a3"] + fw["b3"]
+    if "wd" in fw:
+        xs = x_q[:, ::stride, ::stride].astype(jnp.float32)
+        ident = (xs.reshape(-1, cin) @ fw["wd"].astype(jnp.float32)
+                 ) * fw["ad"] + fw["bd"]
+    else:
+        ident = x.reshape(-1, cin) * fw["ai"]
+    out = jnp.clip(jnp.round(y + ident), 0, 127).astype(jnp.int8)
+    return out.reshape(B, Ho, Wo, -1)
+
+
 def bottleneck_reference_q(x_q: jax.Array, fw: Dict[str, jax.Array],
                            *, stride: int = 1) -> jax.Array:
     """Quantized-block oracle in plain XLA, [B, H, W, C] int8 layout —

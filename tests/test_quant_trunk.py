@@ -220,6 +220,143 @@ def test_mixed_plan_trunk_end_to_end_cosine(monkeypatch):
     assert cos.min() > 0.99, cos.min()
 
 
+def fold_t(params, stats):
+    """Transport fold (int8 I/O, full-precision dots) with plausible
+    random amax values; f32 compute so the kernel matches the f32 oracle
+    exactly (on TPU the weights are bf16 — tested end-to-end below)."""
+    from multimodal_baby_tpu.ops.quant import fold_block_params_t
+    return fold_block_params_t(
+        params, stats, in_amax=jnp.float32(2.0), out_amax=jnp.float32(2.5),
+        compute_dtype=jnp.float32, groups=GROUPS)
+
+
+@pytest.mark.parametrize("stride,has_ds", [(1, False), (2, True)])
+def test_fused_block_transport_matches_oracle(stride, has_ds):
+    """int8-TRANSPORT block (int8 activations over HBM, f32/bf16 dots)
+    vs ops/quant.bottleneck_reference_t."""
+    from multimodal_baby_tpu.ops.quant import bottleneck_reference_t
+
+    rng = np.random.RandomState(4)
+    B, H, W, cin, planes = 32, 8, 8, 256, 64
+    params, stats = make_block(rng, cin, planes, has_ds)
+    fw = fold_t(params, stats)
+    assert fw["w1"].dtype == jnp.float32  # dots stay full precision
+
+    x = jnp.asarray(rng.randint(0, 100, (B, H, W, cin)), jnp.int8)
+    want = bottleneck_reference_t(x, fw, stride=stride)
+    got = from_hwbc(fused_bottleneck_hwbc(
+        to_hwbc(x, 32), fw, stride=stride))
+    assert got.dtype == jnp.int8
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_fused_stage_transport_matches_oracle():
+    rng = np.random.RandomState(5)
+    B, H, W, cin, planes = 32, 8, 8, 256, 64
+    fws, strides = [], []
+    c = cin
+    for j in range(3):
+        params, stats = make_block(rng, c, planes, has_ds=(j == 0))
+        fws.append(fold_t(params, stats))
+        strides.append(2 if j == 0 else 1)
+        c = 4 * planes
+    x = jnp.asarray(rng.randint(0, 100, (B, H, W, cin)), jnp.int8)
+    want = stage_reference(to_hwbc(x, 32), fws, strides)
+    got = fused_stage_hwbc(to_hwbc(x, 32), fws, strides)
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_fused_stage_banded_transport_matches_oracle():
+    """Banded whole-stage kernel in transport mode (int8 I/O at bsub=32,
+    f32 dots, a3/ad folded into w3/wd, ai identity coefficient)."""
+    from multimodal_baby_tpu.ops.bottleneck_hwbc import fused_stage_banded
+
+    rng = np.random.RandomState(8)
+    B, H, W, cin, planes = 32, 8, 8, 256, 64
+    fws, strides = [], []
+    c = cin
+    for j in range(3):
+        params, stats = make_block(rng, c, planes, has_ds=(j == 0))
+        fws.append(fold_t(params, stats))
+        strides.append(1)
+        c = 4 * planes
+    x = jnp.asarray(rng.randint(0, 100, (B, H, W, cin)), jnp.int8)
+    want = stage_reference(to_hwbc(x, 32), fws, strides)
+    got = fused_stage_banded(to_hwbc(x, 32), fws, strides, hh=4, R=4)
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_transport_trunk_end_to_end_cosine(monkeypatch):
+    """Whole ResNeXt50 in all-transport mode ("t,t,t,t"): int8 HBM
+    transport with bf16 dots must track the f32 conv path at least as
+    closely as the all-int8 trunk (same activation grids, no dot/h1/h2
+    quantization error)."""
+    from multimodal_baby_tpu.models.quant_calib import calibrate_backbone
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.randn(32, 64, 64, 3), jnp.float32)
+
+    ref_mod = ResNeXt50(dtype=None, dense_groups=False, fused_trunk=False)
+    variables = ref_mod.init(jax.random.PRNGKey(0), imgs, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    want = ref_mod.apply({"params": params, "batch_stats": stats},
+                         imgs, train=False)["pooled"]
+
+    scales = calibrate_backbone(params, stats, imgs)
+
+    monkeypatch.setenv("MMB_FUSED_TRUNK", "1")
+    monkeypatch.setenv("MMB_TRUNK_INT8", "t")
+    t_mod = ResNeXt50(dtype=jnp.bfloat16)
+    got = t_mod.apply(
+        {"params": params, "batch_stats": stats, "quant_scales": scales},
+        imgs.astype(jnp.bfloat16), train=False)["pooled"]
+
+    a = np.asarray(want)
+    b = np.asarray(got, np.float32)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_mixed_transport_quant_plan_cosine(monkeypatch):
+    """Transport layers 1-2 + full-int8 layers 3-4 ("t,t,1,1" — the
+    intended production mix: DMA halving where the stage is
+    bandwidth-bound, int8 MXU rate where it is weight-bound)."""
+    from multimodal_baby_tpu.models.quant_calib import calibrate_backbone
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.randn(32, 64, 64, 3), jnp.float32)
+
+    ref_mod = ResNeXt50(dtype=None, dense_groups=False, fused_trunk=False)
+    variables = ref_mod.init(jax.random.PRNGKey(0), imgs, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    want = ref_mod.apply({"params": params, "batch_stats": stats},
+                         imgs, train=False)["pooled"]
+
+    scales = calibrate_backbone(params, stats, imgs)
+
+    monkeypatch.setenv("MMB_FUSED_TRUNK", "1")
+    monkeypatch.setenv("MMB_TRUNK_INT8", "t,t,1,1")
+    mod = ResNeXt50(dtype=jnp.bfloat16)
+    got = mod.apply(
+        {"params": params, "batch_stats": stats, "quant_scales": scales},
+        imgs.astype(jnp.bfloat16), train=False)["pooled"]
+
+    a = np.asarray(want)
+    b = np.asarray(got, np.float32)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
 def test_int8_plan_validation():
     """Non-suffix plans and malformed plan strings are rejected."""
     from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
@@ -229,8 +366,15 @@ def test_int8_plan_validation():
     with pytest.raises(ValueError, match="entries"):
         ResNeXt50(trunk_int8=(True,))._int8_plan(True)
     assert ResNeXt50(trunk_int8="0,0,1,1")._int8_plan(True) == (
-        False, False, True, True)
-    assert ResNeXt50(trunk_int8=True)._int8_plan(True) == (True,) * 4
+        False, False, "q", "q")
+    assert ResNeXt50(trunk_int8=True)._int8_plan(True) == ("q",) * 4
+    assert ResNeXt50(trunk_int8="t,t,1,1")._int8_plan(True) == (
+        "t", "t", "q", "q")
+    assert ResNeXt50(trunk_int8="t")._int8_plan(True) == ("t",) * 4
+    with pytest.raises(ValueError, match="suffix"):
+        ResNeXt50(trunk_int8="t,0,1,1")._int8_plan(True)
+    with pytest.raises(ValueError, match="0/1/t"):
+        ResNeXt50(trunk_int8="0,0,x,1")._int8_plan(True)
 
 
 # ---------------------------------------------------------------------------
