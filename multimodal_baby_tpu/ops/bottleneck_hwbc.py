@@ -754,10 +754,29 @@ def _stage_margins(strides):
     return pre, post
 
 
+class _HaloRow:
+    """View of one packed-halo row as a [1, ...]-shaped pseudo-ref.
+
+    The banded kernel used to take each halo row as its own operand (the
+    full x array with a 1-row BlockSpec, pre+post slots). XLA materializes
+    a distinct HBM copy of x per custom-call operand slot, which at
+    layer-2 scale (1.6 GB x ~7 slots at B=1024) blew past HBM. The halo
+    rows now arrive packed per band in ONE small operand; this shim keeps
+    the kernel body written as if each row were its own ref."""
+
+    def __init__(self, xh, idx):
+        self.xh, self.idx = xh, idx
+
+    def __getitem__(self, key):
+        assert key == slice(None), key
+        return self.xh[self.idx:self.idx + 1]
+
+
 def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
                    post, R, bsub: int = BSUB):
-    """refs: pre x-halo rows, x_main, post x-halo rows, 9 weight refs per
-    block, out_ref, scratches (h1pad, tA, tB, h2_scr).
+    """refs: packed halo rows (one ref, [pre+post, Bq, W, bsub, cin], the
+    band's pre rows then post rows; absent when pre+post == 0), x_main,
+    9 weight refs per block, out_ref, scratches (h1pad, tA, tB, h2_scr).
 
     metas[j] = (ext_in, ext_out, off_in, post_in, stride, has_ds).
     Tensor t_j carries ext_j rows: the hh aligned output rows plus the
@@ -772,12 +791,14 @@ def _banded_kernel(*refs, metas, hh, W0, Bq, n_blocks, width, cout, pre,
     coefficient, so the only transport-specific work is the int8->bf16
     input convert and the round/clip epilogue."""
     NW = 9
-    x_halo_pre = refs[:pre]
-    x_main = refs[pre]
-    x_halo_post = refs[pre + 1:pre + 1 + post]
-    w_refs = refs[pre + 1 + post:pre + 1 + post + NW * n_blocks]
-    out_ref = refs[pre + 1 + post + NW * n_blocks]
-    h1pad, tA, tB, h2_scr = refs[pre + 2 + post + NW * n_blocks:]
+    nh = 1 if (pre + post) else 0
+    xh = refs[0] if nh else None      # packed halo rows [pre+post, ...]
+    x_main = refs[nh]
+    w_refs = refs[nh + 1:nh + 1 + NW * n_blocks]
+    out_ref = refs[nh + 1 + NW * n_blocks]
+    h1pad, tA, tB, h2_scr = refs[nh + 2 + NW * n_blocks:]
+    x_halo_pre = [_HaloRow(xh, d) for d in range(pre)]
+    x_halo_post = [_HaloRow(xh, pre + d) for d in range(post)]
     dt = out_ref.dtype
     dt_mid = h1pad.dtype
     BSUB = bsub
@@ -985,21 +1006,33 @@ def fused_stage_banded(
     assert ext == hh and off == 0 and pst == 0, (ext, off, pst)
     max_t_ext = max(m[1] for m in metas[:-1]) if n_blocks > 1 else 1
 
-    def halo_spec(d):
-        return pl.BlockSpec(
-            (1, Bq, W, bsub, cin0),
-            lambda ib, ih, d=d: (
-                jnp.clip(ih * hin + d, 0, H - 1), ib, 0, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    in_specs = (
-        [halo_spec(d) for d in range(-pre, 0)]
-        + [pl.BlockSpec((hin, Bq, W, bsub, cin0),
-                        lambda ib, ih: (ih, ib, 0, 0, 0),
-                        memory_space=pltpu.VMEM)]
-        + [halo_spec(hin + d) for d in range(post)])
-    hs = x if halo_source is None else halo_source
-    operands = [hs] * pre + [x] + [hs] * post
+    # Halo rows arrive packed in ONE small operand ([n_h*(pre+post), ...],
+    # the band's pre rows then post rows): separate per-row operands each
+    # carrying the full x cost a distinct HBM copy of x per slot (XLA
+    # materializes custom-call operands individually — at layer-2 scale
+    # that was a 5.7 GB HBM OOM at B=1024). The gather is n_h*(pre+post)
+    # rows once per call, at XLA's copy rate.
+    n_h = Ho // hh
+    in_specs = []
+    operands = []
+    if pre + post:
+        hs = x if halo_source is None else halo_source
+        idx = []
+        for ih in range(n_h):
+            idx.extend(min(max(ih * hin + d, 0), H - 1)
+                       for d in range(-pre, 0))
+            idx.extend(min(max(ih * hin + hin + d, 0), H - 1)
+                       for d in range(post))
+        xh = jnp.take(hs, jnp.asarray(idx, jnp.int32), axis=0)
+        in_specs.append(pl.BlockSpec(
+            (pre + post, Bq, W, bsub, cin0),
+            lambda ib, ih: (ih, ib, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(xh)
+    in_specs.append(pl.BlockSpec((hin, Bq, W, bsub, cin0),
+                                 lambda ib, ih: (ih, ib, 0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(x)
 
     def wspec(shape):
         n = len(shape)
