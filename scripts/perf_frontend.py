@@ -123,6 +123,67 @@ def main():
     print(f"D  augment, no blur    : {timed(no_blur, u8):7.3f} ms",
           flush=True)
 
+    # E-H: stem-chain decomposition (round-3: where do C's ms live?)
+    class ConvOnly(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, name="conv1",
+                        dtype=jnp.bfloat16)(x)
+            mul = self.param("mul", nn.initializers.ones, (64,))
+            add = self.param("add", nn.initializers.zeros, (64,))
+            return nn.relu(y * mul.astype(y.dtype) + add.astype(y.dtype))
+
+    conv = ConvOnly()
+    cp = conv.init(jax.random.PRNGKey(0), x_aug)
+
+    def conv_fn(key, x):
+        eps = jax.random.uniform(key, (1,), jnp.float32) * 1e-8
+        return conv.apply(cp, x + eps.astype(x.dtype))
+    print(f"E  stem conv+bn+relu   : {timed(conv_fn, x_aug):7.3f} ms",
+          flush=True)
+
+    def conv_pool_fn(key, x):
+        eps = jax.random.uniform(key, (1,), jnp.float32) * 1e-8
+        y = conv.apply(cp, x + eps.astype(x.dtype))
+        return nn.max_pool(y, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+    print(f"F  conv+pool (no hwbc) : {timed(conv_pool_fn, x_aug):7.3f} ms",
+          flush=True)
+
+    y_conv = jax.jit(lambda x: conv.apply(cp, x))(x_aug)
+
+    def pool_hwbc_fn(key, y):
+        eps = jax.random.uniform(key, (1,), jnp.float32) * 1e-8
+        z = nn.max_pool(y + eps.astype(y.dtype), (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+        z = jax.lax.optimization_barrier(z)
+        return to_hwbc(z)
+    print(f"G  pool+to_hwbc only   : {timed(pool_hwbc_fn, y_conv):7.3f} ms",
+          flush=True)
+
+    class StemNoBar(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, name="conv1",
+                        dtype=jnp.bfloat16)(x)
+            mul = self.param("mul", nn.initializers.ones, (64,))
+            add = self.param("add", nn.initializers.zeros, (64,))
+            y = nn.relu(y * mul.astype(y.dtype) + add.astype(y.dtype))
+            y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+            return to_hwbc(y)   # no optimization_barrier
+
+    snb = StemNoBar()
+    snp = snb.init(jax.random.PRNGKey(0), x_aug)
+
+    def stem_nobar_fn(key, x):
+        eps = jax.random.uniform(key, (1,), jnp.float32) * 1e-8
+        return snb.apply(snp, x + eps.astype(x.dtype))
+    print(f"H  C without barrier   : {timed(stem_nobar_fn, x_aug):7.3f} ms",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
