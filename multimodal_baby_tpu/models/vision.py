@@ -58,13 +58,18 @@ class VisionEncoder(nn.Module):
             # Denses (2x MXU rate — perf_xla_int8.py: 317 vs 201 T/s).
             # Refused when finetuning: int8_dense has zero gradient.
             vit_int8 = os.environ.get("MMB_VIT_INT8", "0") == "1"
-            if vit_int8 and v.finetune_cnn:
+            # MMB_VIT_LNFOLD=1: LayerNorm gamma/beta fold into the
+            # adjacent qkv/fc1 kernels (hoisted constants; LNs become
+            # pure normalizes). Frozen-trunk only: the fold stops
+            # gradients through the folded kernels by construction.
+            vit_lnfold = os.environ.get("MMB_VIT_LNFOLD", "0") == "1"
+            if (vit_int8 or vit_lnfold) and v.finetune_cnn:
                 raise ValueError(
-                    "MMB_VIT_INT8=1 requires a frozen ViT trunk "
-                    "(finetune_cnn=False): the int8 matmul path is "
-                    "non-differentiable.")
+                    "MMB_VIT_INT8/MMB_VIT_LNFOLD require a frozen ViT "
+                    "trunk (finetune_cnn=False): the int8 matmul path is "
+                    "non-differentiable and the LN-fold stops gradients.")
             self.backbone = vit_base(patch_size=14, dtype=self.dtype,
-                                     int8=vit_int8)
+                                     int8=vit_int8, lnfold=vit_lnfold)
         else:
             # dense_groups: grouped-conv layout reshapes eliminated; safe
             # only when the trunk is frozen (see BottleneckX docstring)

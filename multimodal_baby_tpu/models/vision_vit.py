@@ -37,11 +37,23 @@ class QuantizableDense(nn.Dense):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln_scale: jax.Array | None = None,
+                 ln_bias: jax.Array | None = None) -> jax.Array:
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
+        if ln_scale is not None:
+            # LN-fold (frozen trunks): caller feeds the PURE normalize
+            # n(x) and the preceding LayerNorm's gamma/beta fold into
+            # this matmul: n(x)@(gamma*W) + (beta@W + b). Constant under
+            # the frozen trunk, so XLA hoists the fold out of the step.
+            k32 = kernel.astype(jnp.float32)
+            kernel = ln_scale.astype(jnp.float32)[:, None] * k32
+            fold_b = ln_bias.astype(jnp.float32) @ k32
+            bias = fold_b if bias is None else bias + fold_b
+            kernel = jax.lax.stop_gradient(kernel)
+            bias = jax.lax.stop_gradient(bias)
         if self.int8:
             from multimodal_baby_tpu.ops.quant import int8_dense
             return int8_dense(x, kernel, bias,
@@ -55,6 +67,30 @@ class QuantizableDense(nn.Dense):
         return y
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm's scale/bias under the standard names without
+    applying them — the LN-fold path consumes them directly (param tree
+    stays byte-identical to ``nn.LayerNorm``, so checkpoints and the
+    torch converter are unaffected)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def _norm_only(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm's normalize (f32 stats) WITHOUT gamma/beta — those are
+    folded into the consumer matmul by QuantizableDense(ln_scale=...)."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.square(x32).mean(-1, keepdims=True) - jnp.square(mu)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 class ViTAttention(nn.Module):
     dim: int
     num_heads: int
@@ -63,14 +99,17 @@ class ViTAttention(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, return_attention: bool = False):
+    def __call__(self, x: jax.Array, return_attention: bool = False,
+                 ln_scale: jax.Array | None = None,
+                 ln_bias: jax.Array | None = None):
         B, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
         scale = head_dim ** -0.5
 
         qkv = QuantizableDense(3 * C, use_bias=self.qkv_bias, name="qkv",
-                               dtype=self.dtype, int8=self.int8)(x)
+                               dtype=self.dtype, int8=self.int8)(
+                                   x, ln_scale=ln_scale, ln_bias=ln_bias)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
@@ -109,9 +148,26 @@ class ViTBlock(nn.Module):
     qkv_bias: bool = True
     dtype: Any = None
     int8: bool = False
+    lnfold: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False):
+        if self.lnfold and not return_attention:
+            # FROZEN-trunk fast path: LayerNorms run as pure normalizes,
+            # gamma/beta fold into the qkv / fc1 kernels (hoisted
+            # constants). Param tree identical to the plain path.
+            s1, b1 = _LNParams(self.dim, name="norm1")()
+            x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
+                                 self.dtype, int8=self.int8, name="attn")(
+                                     _norm_only(x), ln_scale=s1, ln_bias=b1)
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
+                                 dtype=self.dtype, int8=self.int8)(
+                                     _norm_only(x), ln_scale=s2, ln_bias=b2)
+            h = nn.gelu(h, approximate=False)
+            h = QuantizableDense(self.dim, name="fc2", dtype=self.dtype,
+                                 int8=self.int8)(h)
+            return x + h
         ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype)
         y = ln(name="norm1")(x)
         if return_attention:
@@ -143,6 +199,8 @@ class VisionTransformerDino(nn.Module):
     # only: the quantization is non-differentiable by design. Gated in
     # VisionEncoder.setup on `not finetune_cnn` + MMB_VIT_INT8=1.
     int8: bool = False
+    # LN-fold for frozen trunks (MMB_VIT_LNFOLD=1): see ViTBlock.
+    lnfold: bool = False
 
     def setup(self):
         self.patch_proj = nn.Conv(
@@ -157,7 +215,7 @@ class VisionTransformerDino(nn.Module):
         self.blocks = [
             ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
                      self.qkv_bias, self.dtype, int8=self.int8,
-                     name=f"block{i}")
+                     lnfold=self.lnfold, name=f"block{i}")
             for i in range(self.depth)]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm",
                                  dtype=self.dtype)
@@ -219,11 +277,11 @@ class VisionTransformerDino(nn.Module):
         return out
 
 
-def vit_base(patch_size: int = 14, dtype=None,
-             int8: bool = False) -> VisionTransformerDino:
+def vit_base(patch_size: int = 14, dtype=None, int8: bool = False,
+             lnfold: bool = False) -> VisionTransformerDino:
     return VisionTransformerDino(
         patch_size=patch_size, embed_dim=768, depth=12, num_heads=12,
-        dtype=dtype, int8=int8)
+        dtype=dtype, int8=int8, lnfold=lnfold)
 
 
 def vit_small(patch_size: int = 16, dtype=None) -> VisionTransformerDino:

@@ -27,4 +27,6 @@ run() {
 run python -u scripts/perf_grouped_dg.py
 run python -u scripts/perf_frontend.py
 run python -u scripts/profile_vit.py /tmp/trace_vit_r3
+run MMB_VIT_LNFOLD=1 python -u scripts/perf_vit_flagship.py
+run MMB_VIT_LNFOLD=1 MMB_VIT_INT8=1 python -u scripts/perf_vit_flagship.py
 echo "QUEUE8 DONE" | tee -a "$LOG"

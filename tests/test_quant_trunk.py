@@ -453,3 +453,37 @@ def test_vit_int8_requires_frozen_trunk(monkeypatch):
     imgs = jnp.zeros((1, 28, 28, 3), jnp.float32)
     with pytest.raises(ValueError, match="frozen"):
         enc.init(jax.random.PRNGKey(0), imgs)
+
+
+def test_lnfold_vit_matches_plain():
+    """LN-fold path (gamma/beta folded into qkv/fc1, pure-normalize LNs)
+    vs the plain path on the SAME params: numerically equivalent up to
+    f32 reassociation (the fold is exact algebra, not an approximation)."""
+    from multimodal_baby_tpu.models.vision_vit import VisionTransformerDino
+
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randn(2, 56, 56, 3), jnp.float32)
+
+    kw = dict(patch_size=14, embed_dim=96, depth=3, num_heads=4,
+              base_img_size=56)
+    ref = VisionTransformerDino(**kw)
+    vs = ref.init(jax.random.PRNGKey(0), imgs)
+    # make gamma/beta non-trivial so the fold actually moves them
+    vs = jax.tree.map(lambda x: x, vs)
+    import flax
+    flat = flax.traverse_util.flatten_dict(vs["params"])
+    for k in list(flat):
+        if len(k) < 2 or not k[-2].startswith("norm"):
+            continue
+        if k[-1] == "scale":
+            flat[k] = flat[k] * 1.3 + 0.1
+        elif k[-1] == "bias":
+            flat[k] = flat[k] + 0.05
+    vs = {"params": flax.traverse_util.unflatten_dict(flat)}
+
+    want = np.asarray(ref.apply(vs, imgs))
+    folded = VisionTransformerDino(**kw, lnfold=True)
+    # identical param trees: the fold declares norm params under the
+    # same names via _LNParams
+    got = np.asarray(folded.apply(vs, imgs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
