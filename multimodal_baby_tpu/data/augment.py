@@ -64,11 +64,15 @@ def _sample_crop_box(key: jax.Array, hw: Tuple[int, int],
 
 def _interp_matrices(coords: jax.Array, in_size: int) -> jax.Array:
     """coords: [B, out] float source positions -> bilinear interpolation
-    matrices [B, out, in_size] (rows sum to 1; edge-clamped)."""
+    matrices [B, out, in_size] (rows sum to 1; edge-clamped).
+
+    No normalize pass: callers clip coords to [0, in_size-1], so each row
+    is either one tap of weight 1 (integer/clamped coord) or two taps
+    (1-frac, frac) summing to 1 exactly — the division it replaced was a
+    mathematical no-op costing a reduce + divide over [B, out, in]."""
     grid = jnp.arange(in_size, dtype=jnp.float32)
-    w = jnp.maximum(
+    return jnp.maximum(
         0.0, 1.0 - jnp.abs(coords[:, :, None] - grid[None, None, :]))
-    return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
 
 
 def _blur_matrices(key_p, key_s, batch: int, size: int) -> jax.Array:
