@@ -75,19 +75,41 @@ def _interp_matrices(coords: jax.Array, in_size: int) -> jax.Array:
         0.0, 1.0 - jnp.abs(coords[:, :, None] - grid[None, None, :]))
 
 
-def _blur_matrices(key_p, key_s, batch: int, size: int) -> jax.Array:
+_BLUR_RADIUS = 6  # 13-tap band, like a radius-6 discrete kernel
+
+
+def _blur_matrices(key_p, key_s, batch: int, size: int,
+                   dtype=jnp.float32) -> jax.Array:
     """Per-image Gaussian band matrices [B, size, size]; identity for the
-    ~half of the batch that skips the blur (p=0.5, sigma ~ U(0.1, 2))."""
+    ~half of the batch that skips the blur (p=0.5, sigma ~ U(0.1, 2)).
+
+    The band value at (p, q) depends only on q - p, so the whole matrix
+    is determined by 13 taps per image: compute exp on [B, 13] (not the
+    dense [B, s, s] the first version paid for), normalize per row
+    against the edge-truncated tap sum (rows within RADIUS of the
+    boundary lose taps), and materialize the dense matrix with the
+    Toeplitz pad-and-reshift trick — row p of a width-(size+1) buffer,
+    flattened, lands its taps at columns p-R..p+R of the dense view.
+    One dense pass total, no dense transcendentals/reductions."""
+    R = _BLUR_RADIUS
     sigmas = jax.random.uniform(key_s, (batch,), minval=0.1, maxval=2.0)
     do_blur = jax.random.bernoulli(key_p, 0.5, (batch,))
-    grid = jnp.arange(size, dtype=jnp.float32)
-    d = grid[None, :, None] - grid[None, None, :]          # [1, s, s]
-    g = jnp.exp(-0.5 * (d / sigmas[:, None, None]) ** 2)   # [B, s, s]
-    # truncate to a 13-tap band like a radius-6 discrete kernel
-    g = jnp.where(jnp.abs(d) > 6.0, 0.0, g)
-    g = g / g.sum(-1, keepdims=True)
-    eye = jnp.eye(size)[None]
-    return jnp.where(do_blur[:, None, None], g, eye)
+    k = jnp.arange(-R, R + 1, dtype=jnp.float32)            # [13]
+    band = jnp.exp(-0.5 * (k[None, :] / sigmas[:, None]) ** 2)  # [B, 13]
+    band = jnp.where(do_blur[:, None], band,
+                     (k == 0.0).astype(jnp.float32)[None])  # identity rows
+    # row p keeps taps with 0 <= p + k < size
+    p = jnp.arange(size, dtype=jnp.float32)
+    valid = ((p[:, None] + k[None, :] >= 0.0)
+             & (p[:, None] + k[None, :] <= size - 1.0))     # [s, 13]
+    nb = band[:, None, :] * valid[None]                     # [B, s, 13]
+    nb = (nb / nb.sum(-1, keepdims=True)).astype(dtype)
+    # Toeplitz: nb[b, p, k] belongs at dense[b, p, p - R + k]; with row
+    # stride size + 1, flat(p, k) = p*(size+1) + k = p*size + (p - R + k)
+    # + R, so the dense view is the flat buffer shifted by R.
+    buf = jnp.pad(nb, ((0, 0), (0, 0), (0, size + 1 - (2 * R + 1))))
+    flat = buf.reshape(batch, size * (size + 1))
+    return flat[:, R:R + size * size].reshape(batch, size, size)
 
 
 def space_to_depth(x: jax.Array) -> jax.Array:
@@ -151,7 +173,8 @@ def augment_batch(
 
     ry = _interp_matrices(jnp.clip(ys, 0.0, H - 1.0), H)   # [B, out, H]
     cx = _interp_matrices(jnp.clip(xs, 0.0, W - 1.0), W)   # [B, out, W]
-    gy = _blur_matrices(k_blur_p, k_blur_s, B, out_size)   # [B, out, out]
+    gy = _blur_matrices(k_blur_p, k_blur_s, B, out_size,
+                        dtype=jnp.bfloat16)                # [B, out, out]
 
     # compose blur into the interpolation matrices: the image is touched
     # by TWO [out, in] matmuls total instead of four (crop/resize and blur
@@ -162,7 +185,7 @@ def augment_batch(
     # pixel LSB, and it halves the ~300 MB/step of matrix traffic that
     # dominated the augment cost (scripts/perf_frontend.py: construction
     # was 1.0 of the 1.6 ms at B=256)
-    ry, cx, gy = (m.astype(jnp.bfloat16) for m in (ry, cx, gy))
+    ry, cx = (m.astype(jnp.bfloat16) for m in (ry, cx))
     a_row = jnp.einsum("bpo,boh->bph", gy, ry)             # [B, out, H]
     a_col = jnp.einsum("bsq,bqw->bsw", gy, cx)             # [B, out, W]
 

@@ -101,7 +101,8 @@ class ViTAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False,
                  ln_scale: jax.Array | None = None,
-                 ln_bias: jax.Array | None = None):
+                 ln_bias: jax.Array | None = None,
+                 kv_valid: int | None = None):
         B, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
@@ -121,7 +122,8 @@ class ViTAttention(nn.Module):
         # reshape/transpose copies through every block in the full step
         # (measured 1461 vs 1559 pairs/s end-to-end at B=256) — see
         # BENCH_NOTES.md. MMB_FUSED_ATTN=1 re-enables.
-        if not return_attention and jax.devices()[0].platform == "tpu" \
+        if not return_attention and kv_valid is None \
+                and jax.devices()[0].platform == "tpu" \
                 and os.environ.get("MMB_FUSED_ATTN", "0") == "1" \
                 and should_fuse_attention(N, head_dim):
             # Pallas kernel: scores never leave VMEM (ops/attention.py)
@@ -133,6 +135,13 @@ class ViTAttention(nn.Module):
             y = y.reshape(B, N, C)
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            if kv_valid is not None and kv_valid < N:
+                # tile-padded token stream (VisionTransformerDino): key
+                # columns >= kv_valid are pad tokens; -1e9 underflows to
+                # exp() == 0 exactly, so real-row softmax is bitwise the
+                # unpadded computation
+                mask = jnp.where(jnp.arange(N) < kv_valid, 0.0, -1e9)
+                attn = attn + mask.astype(attn.dtype)[None, None, None, :]
             attn = jax.nn.softmax(attn, axis=-1)
             if return_attention:
                 return attn
@@ -151,7 +160,8 @@ class ViTBlock(nn.Module):
     lnfold: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, return_attention: bool = False):
+    def __call__(self, x: jax.Array, return_attention: bool = False,
+                 kv_valid: int | None = None):
         if self.lnfold and not return_attention:
             # FROZEN-trunk fast path: LayerNorms run as pure normalizes,
             # gamma/beta fold into the qkv / fc1 kernels (hoisted
@@ -159,7 +169,8 @@ class ViTBlock(nn.Module):
             s1, b1 = _LNParams(self.dim, name="norm1")()
             x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
                                  self.dtype, int8=self.int8, name="attn")(
-                                     _norm_only(x), ln_scale=s1, ln_bias=b1)
+                                     _norm_only(x), ln_scale=s1, ln_bias=b1,
+                                     kv_valid=kv_valid)
             s2, b2 = _LNParams(self.dim, name="norm2")()
             h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
                                  dtype=self.dtype, int8=self.int8)(
@@ -175,7 +186,8 @@ class ViTBlock(nn.Module):
                                 self.dtype, name="attn")(
                                     y, return_attention=True)
         x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
-                             self.dtype, int8=self.int8, name="attn")(y)
+                             self.dtype, int8=self.int8, name="attn")(
+                                 y, kv_valid=kv_valid)
         h = ln(name="norm2")(x)
         h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
                              dtype=self.dtype, int8=self.int8)(h)
@@ -256,9 +268,36 @@ class VisionTransformerDino(nn.Module):
         """Returns the CLS feature [B, E] after the final norm
         (reference forward: vision_transformer_dino_mugs.py:245-250)."""
         tokens = self.prepare_tokens(x)
+        n_valid = tokens.shape[1]
+        n_pad = self._padded_len(n_valid)
+        if n_pad > n_valid:
+            # 257 tokens (16x16 patches + cls) is PRIME: every [B, 257, E]
+            # tensor carries a ragged sublane tile, taxing each LN /
+            # elementwise / layout op in all 12 blocks (device trace:
+            # 12 x 5.4 ms LN fusions, 17.5 GB "data formatting" at
+            # B=256). Pad the token axis to the tile multiple and mask
+            # the pad keys in attention (-1e9 bias -> exp underflows to
+            # exactly 0), which keeps real-token outputs bitwise-exact
+            # while every op runs on aligned tiles. MMB_VIT_PADSEQ
+            # overrides: 0 = off, N = explicit target length.
+            tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n_valid), (0, 0)))
+            kv_valid = n_valid
+        else:
+            kv_valid = None
         for blk in self.blocks:
-            tokens = blk(tokens)
+            tokens = blk(tokens, kv_valid=kv_valid)
         return self.norm(tokens)[:, 0].astype(jnp.float32)
+
+    def _padded_len(self, n: int) -> int:
+        """Token-axis pad target: MMB_VIT_PADSEQ=0 (off, default until the
+        bench A/B lands), N (explicit), or 'auto' (round up to the bf16
+        sublane tile of 16)."""
+        import os
+        spec = os.environ.get("MMB_VIT_PADSEQ", "0")
+        if spec == "auto":
+            return ((n + 15) // 16) * 16
+        target = int(spec)
+        return target if target > n else n
 
     def get_last_selfattention(self, x: jax.Array) -> jax.Array:
         tokens = self.prepare_tokens(x)

@@ -87,3 +87,34 @@ def test_augment_output_range_is_normalized():
                                    out_size=32, augment=True))
     # ImageNet-normalized pixels live in roughly [-2.5, 2.8]
     assert out.min() > -3.0 and out.max() < 3.0
+
+
+def test_blur_matrices_banded_equals_dense_formula():
+    """The banded Toeplitz construction must reproduce the dense
+    formulation (exp over [B, s, s], band-truncate, row-normalize,
+    identity rows for the no-blur half) it replaced."""
+    from multimodal_baby_tpu.data.augment import _blur_matrices
+
+    def dense_formula(key_p, key_s, batch, size):
+        sigmas = jax.random.uniform(key_s, (batch,), minval=0.1,
+                                    maxval=2.0)
+        do_blur = jax.random.bernoulli(key_p, 0.5, (batch,))
+        grid = jnp.arange(size, dtype=jnp.float32)
+        d = grid[None, :, None] - grid[None, None, :]
+        g = jnp.exp(-0.5 * (d / sigmas[:, None, None]) ** 2)
+        g = jnp.where(jnp.abs(d) > 6.0, 0.0, g)
+        g = g / g.sum(-1, keepdims=True)
+        eye = jnp.eye(size)[None]
+        return jnp.where(do_blur[:, None, None], g, eye)
+
+    for seed, size in [(0, 32), (1, 48), (2, 224)]:
+        kp, ks = jax.random.split(jax.random.PRNGKey(seed))
+        want = np.asarray(dense_formula(kp, ks, 8, size))
+        got = np.asarray(_blur_matrices(kp, ks, 8, size))
+        # same exp taps, different normalization-sum association
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=2e-6)
+        # rows sum to 1 (incl. the edge-truncated first/last 6 rows)
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+        # band structure: nothing beyond radius 6
+        d = np.abs(np.arange(size)[:, None] - np.arange(size)[None, :])
+        assert np.all(got[:, d > 6] == 0.0)

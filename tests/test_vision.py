@@ -153,3 +153,24 @@ def test_vit_intermediate_and_attention_probes():
                                atol=2e-4, rtol=1e-3)
     for j, t in zip(j_inter, t_inter):
         np.testing.assert_allclose(np.asarray(j), t, atol=2e-4, rtol=1e-3)
+
+
+def test_vit_padseq_exact(monkeypatch):
+    """Tile-padding the token axis (MMB_VIT_PADSEQ) must not change the
+    CLS output: pad keys are masked to exp()==0 in every attention and
+    nothing else reduces over the token axis."""
+    import numpy as np
+    model = VisionTransformerDino(patch_size=14, embed_dim=64, depth=2,
+                                  num_heads=4, base_img_size=56)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 56, 56, 3),
+                    jnp.float32)  # 4x4 grid + cls = 17 tokens (prime-ish)
+    params = model.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "0")
+    want = np.asarray(model.apply(params, x))
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "auto")
+    got = np.asarray(model.apply(params, x))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "64")
+    got64 = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(got64, want, atol=1e-5, rtol=1e-5)
