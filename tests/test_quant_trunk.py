@@ -487,3 +487,28 @@ def test_lnfold_vit_matches_plain():
     # same names via _LNParams
     got = np.asarray(folded.apply(vs, imgs))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_int8_vit_cosine_with_padseq(monkeypatch):
+    """Token-axis tile padding (MMB_VIT_PADSEQ) must not degrade the int8
+    path: pad rows enter the per-tensor activation amax of int8_dense, so
+    pin that the cls cosine vs f32 stays at the same gate as int8 alone."""
+    from multimodal_baby_tpu.models.vision_vit import VisionTransformerDino
+
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randn(2, 56, 56, 3), jnp.float32)
+
+    kw = dict(patch_size=14, embed_dim=96, depth=3, num_heads=4,
+              base_img_size=56)
+    ref = VisionTransformerDino(**kw)
+    vs = ref.init(jax.random.PRNGKey(0), imgs)
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "0")
+    want = np.asarray(ref.apply(vs, imgs))
+
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "auto")
+    q = VisionTransformerDino(**kw, int8=True)
+    got = np.asarray(q.apply(vs, imgs), np.float32)
+
+    cos = (want * got).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()

@@ -174,3 +174,19 @@ def test_vit_padseq_exact(monkeypatch):
     monkeypatch.setenv("MMB_VIT_PADSEQ", "64")
     got64 = np.asarray(model.apply(params, x))
     np.testing.assert_allclose(got64, want, atol=1e-5, rtol=1e-5)
+
+
+def test_vit_padseq_with_lnfold_exact(monkeypatch):
+    """padseq composes with the LN-fold frozen fast path."""
+    import numpy as np
+    model = VisionTransformerDino(patch_size=14, embed_dim=64, depth=2,
+                                  num_heads=4, base_img_size=56,
+                                  lnfold=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 56, 56, 3),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "0")
+    want = np.asarray(model.apply(params, x))
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "auto")
+    got = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
