@@ -286,7 +286,9 @@ class VisionTransformerDino(nn.Module):
             kv_valid = None
         for blk in self.blocks:
             tokens = blk(tokens, kv_valid=kv_valid)
-        return self.norm(tokens)[:, 0].astype(jnp.float32)
+        # LayerNorm is per-token: normalize only the CLS row instead of
+        # paying a full [B, N, E] pass for one row of output
+        return self.norm(tokens[:, :1])[:, 0].astype(jnp.float32)
 
     def _padded_len(self, n: int) -> int:
         """Token-axis pad target: MMB_VIT_PADSEQ=0 (off, default until the
