@@ -512,7 +512,11 @@ class ResNeXt50(nn.Module):
     def _stem_from_s2d(self, xs: jax.Array) -> jax.Array:
         """4x4/s1 stem conv on an already space-to-depth input
         [B, 112, 112, 12] ((i, j, c) order — data/augment.space_to_depth
-        or the free split-einsum emit in augment_batch(s2d=True))."""
+        or the free split-einsum emit in augment_batch(s2d=True)).
+
+        MMB_STEM_CPAD=1 zero-pads the input channel dim 12 -> 16 (K=192
+        -> K=256 exactly) before the conv — exact (pad taps contribute
+        0), costs one pad copy; measured by scripts/perf_stem_cpad.py."""
         # kernel: [7,7,3,64] -> pad to [8,8] (tap index d = 2k + i - 1;
         # d = -1 is the zero row/col) -> [4, 2, 4, 2, 3, 64] -> [4,4,12,64]
         w7 = _GroupedKernel((7, 7, 3, 64), name="conv1")()
@@ -520,6 +524,9 @@ class ResNeXt50(nn.Module):
         w4 = jnp.transpose(
             wp.reshape(4, 2, 4, 2, 3, 64), (0, 2, 1, 3, 4, 5)
         ).reshape(4, 4, 12, 64).astype(xs.dtype)
+        if os.environ.get("MMB_STEM_CPAD", "0") == "1":
+            xs = jnp.pad(xs, ((0, 0),) * 3 + ((0, 4),))
+            w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 4), (0, 0)))
         return jax.lax.conv_general_dilated(
             xs, w4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -546,6 +553,18 @@ class ResNeXt50(nn.Module):
                 and x.shape[2] % 2 == 0 \
                 and os.environ.get("MMB_S2D_STEM", "0") == "1":
             y = self._stem_s2d(x, dt)
+        elif os.environ.get("MMB_STEM_CPAD", "0") == "1" \
+                and x.shape[-1] == 3:
+            # zero-pad C_in 3 -> 8 before the 7x7 (exact: pad taps are 0);
+            # same parameter tree as the nn.Conv branch. Measured by
+            # scripts/perf_stem_cpad.py probe B.
+            w7 = _GroupedKernel((7, 7, 3, 64), name="conv1")().astype(
+                x.dtype)
+            y = jax.lax.conv_general_dilated(
+                jnp.pad(x, ((0, 0),) * 3 + ((0, 5),)),
+                jnp.pad(w7, ((0, 0), (0, 0), (0, 5), (0, 0))),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         else:
             y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
                         use_bias=False, name="conv1", dtype=dt)(x)

@@ -143,3 +143,35 @@ def test_train_step_split_stem(monkeypatch):
                                variables.get("batch_stats", {}),
                                batch, jax.random.PRNGKey(1), True)
     assert np.isfinite(float(loss))
+
+
+def test_stem_cpad_exact(monkeypatch):
+    """MMB_STEM_CPAD=1 (zero-pad C_in before the stem conv) must be exact
+    on both the 7x7 path (3->8) and the pre-s2d path (12->16)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+
+    rng = np.random.RandomState(0)
+    model = ResNeXt50(dtype=None)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("MMB_STEM_CPAD", "0")
+    want = model.apply(params, x, train=False)
+    monkeypatch.setenv("MMB_STEM_CPAD", "1")
+    got = model.apply(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(got["pooled"]),
+                               np.asarray(want["pooled"]),
+                               atol=1e-5, rtol=1e-5)
+
+    # pre-s2d input path (12 -> 16)
+    from multimodal_baby_tpu.data.augment import space_to_depth
+    xs = space_to_depth(x)
+    monkeypatch.setenv("MMB_STEM_CPAD", "0")
+    want_s = model.apply(params, xs, train=False)
+    monkeypatch.setenv("MMB_STEM_CPAD", "1")
+    got_s = model.apply(params, xs, train=False)
+    np.testing.assert_allclose(np.asarray(got_s["pooled"]),
+                               np.asarray(want_s["pooled"]),
+                               atol=1e-5, rtol=1e-5)
