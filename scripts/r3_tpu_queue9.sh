@@ -1,6 +1,6 @@
 #!/bin/bash
 # Round-3 TPU queue 9: banded-blur bench A/B + ViT padseq A/B + stem
-# C_in-padding probe + B=1536 amortization check. Starts after queue 8.
+# C_in-padding probe/A-B + B=1536 amortization check. Starts after queue 8.
 set -u
 LOG=${1:-/tmp/r3_queue9.log}
 Q8LOG=${2:-/tmp/r3_queue8.log}
@@ -23,12 +23,14 @@ run() {
 
 # 1. bench with the banded Toeplitz blur construction (control: 10757-61)
 run python -u bench.py
-# 2. fixed-cost amortization past 1024 (2048 hits the tunnel's HTTP 413)
+# 2. stem conv C_in-padding formulation probe (cheap; informs 3)
+run python -u scripts/perf_stem_cpad.py
+# 3. end-to-end: C_in-padded 7x7 stem
+run MMB_STEM_CPAD=1 python -u bench.py
+# 4. fixed-cost amortization past 1024 (2048 hits the tunnel's HTTP 413)
 run MMB_BENCH_BATCH=1536 python -u bench.py
-# 3-5. ViT flagship: padseq alone, padseq+lnfold, padseq+lnfold+int8
+# 5-7. ViT flagship: padseq alone, padseq+lnfold, padseq+lnfold+int8
 run MMB_VIT_PADSEQ=auto python -u scripts/perf_vit_flagship.py
 run MMB_VIT_PADSEQ=auto MMB_VIT_LNFOLD=1 python -u scripts/perf_vit_flagship.py
 run MMB_VIT_PADSEQ=auto MMB_VIT_LNFOLD=1 MMB_VIT_INT8=1 python -u scripts/perf_vit_flagship.py
-# 6. stem conv C_in-padding formulation probe
-run python -u scripts/perf_stem_cpad.py
 echo "QUEUE9 DONE" | tee -a "$LOG"
