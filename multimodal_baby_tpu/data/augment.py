@@ -94,6 +94,16 @@ def _blur_matrices(key_p, key_s, batch: int, size: int,
     R = _BLUR_RADIUS
     sigmas = jax.random.uniform(key_s, (batch,), minval=0.1, maxval=2.0)
     do_blur = jax.random.bernoulli(key_p, 0.5, (batch,))
+    if size <= 2 * R:
+        # toy sizes: the Toeplitz row stride (size + 1) cannot hold the
+        # 13-tap band; the dense construction is negligible here
+        grid = jnp.arange(size, dtype=jnp.float32)
+        d = grid[None, :, None] - grid[None, None, :]
+        g = jnp.exp(-0.5 * (d / sigmas[:, None, None]) ** 2)
+        g = jnp.where(jnp.abs(d) > float(R), 0.0, g)
+        g = g / g.sum(-1, keepdims=True)
+        eye = jnp.eye(size)[None]
+        return jnp.where(do_blur[:, None, None], g, eye).astype(dtype)
     k = jnp.arange(-R, R + 1, dtype=jnp.float32)            # [13]
     band = jnp.exp(-0.5 * (k[None, :] / sigmas[:, None]) ** 2)  # [B, 13]
     band = jnp.where(do_blur[:, None], band,
