@@ -106,6 +106,8 @@ def test_fused_stage_full(H, cin, strides):
 @pytest.mark.parametrize("H,cin,strides,hh,R", [
     (16, 64, [1, 1, 1], 4, 4),    # banded layer1 shape, 4 bands
     (16, 128, [2, 1, 1], 4, 4),   # banded with stride-2 head (layer2)
+    (16, 64, [1, 1, 1], 16, 8),   # ONE band = whole stage, no recompute
+    (16, 128, [2, 1, 1], 8, 8),   # one band, stride-2 head
 ])
 def test_fused_stage_banded(H, cin, strides, hh, R):
     rng = np.random.RandomState(4)
