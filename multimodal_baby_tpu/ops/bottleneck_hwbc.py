@@ -55,6 +55,7 @@ recipe live here.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -71,7 +72,9 @@ __all__ = [
 ]
 
 BSUB = 16  # batch lanes in the sublane dimension (bf16 min tile is 16)
-VMEM_LIMIT = 100 * 1024 * 1024  # v5e VMEM is 128 MiB; leave headroom
+# v5e VMEM is 128 MiB; leave headroom. MMB_HWBC_VMEM (MiB) overrides —
+# the one-band whole-stage plans sit just above 100 MiB by arithmetic.
+VMEM_LIMIT = int(os.environ.get("MMB_HWBC_VMEM", "100")) * 1024 * 1024
 
 
 def _interpret() -> bool:

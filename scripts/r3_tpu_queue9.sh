@@ -31,8 +31,8 @@ run MMB_STEM_CPAD=1 python -u bench.py
 run MMB_BENCH_BATCH=1536 python -u bench.py
 # 4b/4c. one-band whole-stage variants: zero halo recompute (compile may
 # VMEM-OOM -> fails fast, cheap information either way)
-run MMB_TRUNK_PLAN=banded56,blocks,split,full python -u bench.py
-run MMB_TRUNK_PLAN=banded28,banded28,split,full python -u bench.py
+run MMB_HWBC_VMEM=116 MMB_TRUNK_PLAN=banded56,blocks,split,full python -u bench.py
+run MMB_HWBC_VMEM=120 MMB_TRUNK_PLAN=banded28,banded28,split,full python -u bench.py
 # 5-7. ViT flagship: padseq alone, padseq+lnfold, padseq+lnfold+int8
 run MMB_VIT_PADSEQ=auto python -u scripts/perf_vit_flagship.py
 run MMB_VIT_PADSEQ=auto MMB_VIT_LNFOLD=1 python -u scripts/perf_vit_flagship.py
