@@ -106,10 +106,24 @@ class PairedImageTextDataset:
         library isn't built."""
         from multimodal_baby_tpu.data import native
         paths = [self.frame_filename(self.data[int(j)]) for j in idxs]
-        imgs = native.decode_batch(paths, IMAGE_H)
-        if imgs is None:
+        decoded = native.decode_batch_checked(paths, IMAGE_H)
+        if decoded is None:
             from multimodal_baby_tpu.data.loader import collate
             return collate([self[int(j)] for j in idxs])
+        imgs, ok = decoded
+        if not ok.all():
+            # slots the C++ decoder couldn't handle (corrupt file, or a
+            # format outside its JPEG/PNG sniffing) go through the PIL
+            # fallback instead of silently becoming black frames; a file
+            # neither decoder reads still raises loudly there
+            import warnings
+            failed = np.flatnonzero(ok == 0)
+            warnings.warn(
+                f"native decode failed for {len(failed)} of "
+                f"{len(paths)} frames (e.g. {paths[failed[0]]}); "
+                "falling back to PIL for those slots")
+            for i in failed:
+                imgs[i] = _load_image_uint8(paths[int(i)], IMAGE_H)
         n = len(idxs)
         text = np.empty((n, self.max_len), np.int32)
         lens = np.empty((n,), np.int32)

@@ -53,6 +53,18 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int]
             lib.decode_batch.restype = ctypes.c_int
+            try:
+                # added after the first release of the .so; a stale
+                # binary simply reports the checked API as unavailable
+                lib.decode_batch2.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8)]
+                lib.decode_batch2.restype = ctypes.c_int
+                lib._has_batch2 = True
+            except AttributeError:
+                lib._has_batch2 = False
             _LIB = lib
         except OSError:
             _LIB = None
@@ -91,3 +103,26 @@ def decode_batch(paths: List[str], size: int = 224,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                      size, size, n_threads)
     return out
+
+
+def decode_batch_checked(paths: List[str], size: int = 224,
+                         n_threads: int = 0
+                         ) -> Optional[tuple]:
+    """Like decode_batch, but also returns a per-slot success mask
+    ([N] uint8, 1 = decoded) so callers can route failed slots through a
+    fallback decoder instead of silently consuming zero-filled frames.
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_batch2", False):
+        return None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    ok = np.empty((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 4)
+    lib.decode_batch2(arr, n,
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      size, size, n_threads,
+                      ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, ok

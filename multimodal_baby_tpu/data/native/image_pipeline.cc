@@ -230,9 +230,12 @@ int decode_image(const char* path, uint8_t* out, int out_h, int out_w) {
   return decode_one(path, out, out_h, out_w) ? 0 : 1;
 }
 
-// Returns the number of failed decodes; failed slots are zero-filled.
-int decode_batch(const char** paths, int n, uint8_t* out, int out_h,
-                 int out_w, int n_threads) {
+// Returns the number of failed decodes; failed slots are zero-filled and
+// (when status != nullptr) flagged status[i] = 0 so the caller can route
+// them through a fallback decoder instead of silently training on black
+// frames.
+int decode_batch2(const char** paths, int n, uint8_t* out, int out_h,
+                  int out_w, int n_threads, uint8_t* status) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::atomic<int> next(0), failures(0);
@@ -243,10 +246,12 @@ int decode_batch(const char** paths, int n, uint8_t* out, int out_h,
       int i = next.fetch_add(1);
       if (i >= n) return;
       uint8_t* dst = out + stride * i;
-      if (!decode_one(paths[i], dst, out_h, out_w)) {
+      bool ok = decode_one(paths[i], dst, out_h, out_w);
+      if (!ok) {
         memset(dst, 0, stride);
         failures.fetch_add(1);
       }
+      if (status) status[i] = ok ? 1 : 0;
     }
   };
 
@@ -254,6 +259,11 @@ int decode_batch(const char** paths, int n, uint8_t* out, int out_h,
   for (int t = 0; t < n_threads; t++) threads.emplace_back(work);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+int decode_batch(const char** paths, int n, uint8_t* out, int out_h,
+                 int out_w, int n_threads) {
+  return decode_batch2(paths, n, out, out_h, out_w, n_threads, nullptr);
 }
 
 }  // extern "C"

@@ -210,24 +210,15 @@ class BottleneckX(nn.Module):
             fw["bd"] = addd
         if amax_chain is None:
             return fw
-        from multimodal_baby_tpu.ops.quant import bn_amax_bound
-        v_out = self.variable("quant_scales", "out_amax",
-                              lambda: jnp.zeros((), jnp.float32))
         bn3_params, _ = bn3.raw()
-        out_amax = jnp.where(v_out.value > 0, v_out.value,
-                             bn_amax_bound(bn3_params) + amax_chain)
+        out_amax = self._out_amax(bn3_params, amax_chain)
         return fw, jax.lax.stop_gradient(out_amax)
 
-    def _fold_q(self, in_channels: int, in_amax: jax.Array):
-        """int8 fold: declare the same parameters as the conv path plus
-        per-block activation-range variables (collection "quant_scales",
-        0 = uncalibrated -> BN-derived bound, see ops/quant.resolve_amax),
-        and return (fw_q, out_amax) for ops/bottleneck_hwbc int8 kernels."""
-        from multimodal_baby_tpu.ops.quant import (
-            fold_block_params_q, resolve_amax)
-        width = int(self.planes * (self.base_width / 64.0)) * self.groups
-        out_ch = self.planes * EXPANSION
-
+    def _declare_raw_params(self, in_channels: int):
+        """The conv-path parameter tree (same variable names/shapes, so
+        checkpoints interchange) in the params/stats/bns dict form the
+        ops/quant.fold_block_params_{q,t} helpers consume."""
+        width, out_ch = self._block_dims()
         params = {
             "conv1": {"kernel": _GroupedKernel(
                 (1, 1, in_channels, width), name="conv1")()},
@@ -246,6 +237,26 @@ class BottleneckX(nn.Module):
                 (1, 1, in_channels, out_ch), name="downsample_conv")()}
             params["downsample_bn"], stats["downsample_bn"] = InferenceBN(
                 out_ch, name="downsample_bn").raw()
+        return params, stats, bns
+
+    def _out_amax(self, bn3_params, base_amax: jax.Array) -> jax.Array:
+        """Residual-sum activation bound: the calibrated "out_amax"
+        variable when set (models/quant_calib.py lands on this name),
+        else the BN-derived bound plus the incoming tensor's range."""
+        from multimodal_baby_tpu.ops.quant import bn_amax_bound
+        v = self.variable("quant_scales", "out_amax",
+                          lambda: jnp.zeros((), jnp.float32))
+        return jnp.where(v.value > 0, v.value,
+                         bn_amax_bound(bn3_params) + base_amax)
+
+    def _fold_q(self, in_channels: int, in_amax: jax.Array):
+        """int8 fold: declare the same parameters as the conv path plus
+        per-block activation-range variables (collection "quant_scales",
+        0 = uncalibrated -> BN-derived bound, see ops/quant.resolve_amax),
+        and return (fw_q, out_amax) for ops/bottleneck_hwbc int8 kernels."""
+        from multimodal_baby_tpu.ops.quant import (
+            fold_block_params_q, resolve_amax)
+        params, stats, bns = self._declare_raw_params(in_channels)
 
         def amax_var(name, bn):
             v = self.variable("quant_scales", name,
@@ -254,12 +265,7 @@ class BottleneckX(nn.Module):
 
         h1_amax = amax_var("h1_amax", bns["bn1"])
         h2_amax = amax_var("h2_amax", bns["bn2"])
-        # residual sum bound: bn3 range + the incoming tensor's range
-        v_out = self.variable("quant_scales", "out_amax",
-                              lambda: jnp.zeros((), jnp.float32))
-        from multimodal_baby_tpu.ops.quant import bn_amax_bound
-        out_amax = jnp.where(v_out.value > 0, v_out.value,
-                             bn_amax_bound(bns["bn3"]) + in_amax)
+        out_amax = self._out_amax(bns["bn3"], in_amax)
 
         fw = fold_block_params_q(
             params, stats, in_amax=in_amax, h1_amax=h1_amax,
@@ -274,39 +280,19 @@ class BottleneckX(nn.Module):
         givebacks). Declares the same parameters as the conv path plus
         only the out_amax range variable (no h1/h2 ranges: intermediates
         stay bf16 in VMEM). Returns (fw_t, out_amax)."""
-        from multimodal_baby_tpu.ops.quant import (
-            bn_amax_bound, fold_block_params_t)
-        width = int(self.planes * (self.base_width / 64.0)) * self.groups
-        out_ch = self.planes * EXPANSION
-
-        params = {
-            "conv1": {"kernel": _GroupedKernel(
-                (1, 1, in_channels, width), name="conv1")()},
-            "conv2": {"kernel": _GroupedKernel(
-                (3, 3, width // self.groups, width), name="conv2")()},
-            "conv3": {"kernel": _GroupedKernel(
-                (1, 1, width, out_ch), name="conv3")()},
-        }
-        stats = {}
-        bns = {}
-        for name, c in (("bn1", width), ("bn2", width), ("bn3", out_ch)):
-            bns[name], stats[name] = InferenceBN(c, name=name).raw()
-            params[name] = bns[name]
-        if self.has_downsample:
-            params["downsample_conv"] = {"kernel": _GroupedKernel(
-                (1, 1, in_channels, out_ch), name="downsample_conv")()}
-            params["downsample_bn"], stats["downsample_bn"] = InferenceBN(
-                out_ch, name="downsample_bn").raw()
-
-        v_out = self.variable("quant_scales", "out_amax",
-                              lambda: jnp.zeros((), jnp.float32))
-        out_amax = jnp.where(v_out.value > 0, v_out.value,
-                             bn_amax_bound(bns["bn3"]) + in_amax)
+        from multimodal_baby_tpu.ops.quant import fold_block_params_t
+        params, stats, bns = self._declare_raw_params(in_channels)
+        out_amax = self._out_amax(bns["bn3"], in_amax)
         fw = fold_block_params_t(
             params, stats, in_amax=in_amax, out_amax=out_amax,
             compute_dtype=self.dtype or jnp.float32, groups=self.groups)
         fw = jax.tree.map(jax.lax.stop_gradient, fw)
         return fw, jax.lax.stop_gradient(out_amax)
+
+    def _block_dims(self) -> Tuple[int, int]:
+        """(grouped-conv width, output channels)."""
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        return width, self.planes * EXPANSION
 
     def _packed_fgc(self) -> int:
         dg = self.dense_groups
@@ -414,7 +400,7 @@ class ResNeXt50(nn.Module):
     # Override with MMB_TRUNK_INT8=0 / 1 / "0,0,1,1" / "t,t,1,1".
     trunk_int8: Any = False
 
-    def _int8_plan(self, ura: bool) -> Tuple[Any, ...]:
+    def _int8_plan(self) -> Tuple[Any, ...]:
         """Per-stage int8 plan: each entry False (bf16), "q" (full int8
         dots) or "t" (int8 transport, bf16 dots); all-False = bf16
         trunk."""
@@ -493,7 +479,7 @@ class ResNeXt50(nn.Module):
             return self.dense_groups[stage_idx]
         return self.dense_groups if stage_idx == 0 else False
 
-    def _stem_s2d(self, x: jax.Array, dt) -> jax.Array:
+    def _stem_s2d(self, x: jax.Array) -> jax.Array:
         """Stem conv via space-to-depth: the 7x7 stride-2 conv over 3
         channels becomes a 4x4 stride-1 conv over 12 channels — the same
         sums in a different order (MLPerf-ResNet trick). XLA runs the
@@ -502,12 +488,8 @@ class ResNeXt50(nn.Module):
         repacked K=4*4*12 form tiles cleanly. The parameter stays the
         reference-shaped [7,7,3,64] conv1/kernel — the remap is pure
         jnp (differentiable, checkpoint-compatible)."""
-        b, h, w, c = x.shape
-        # input: [B, 2H', 2W', 3] -> [B, H', W', (i, j, c)=12]
-        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
-            b, h // 2, w // 2, 4 * c)
-        return self._stem_from_s2d(xs)
+        from multimodal_baby_tpu.data.augment import space_to_depth
+        return self._stem_from_s2d(space_to_depth(x))
 
     def _stem_from_s2d(self, xs: jax.Array) -> jax.Array:
         """4x4/s1 stem conv on an already space-to-depth input
@@ -552,7 +534,7 @@ class ResNeXt50(nn.Module):
         elif dt == jnp.bfloat16 and x.shape[1] % 2 == 0 \
                 and x.shape[2] % 2 == 0 \
                 and os.environ.get("MMB_S2D_STEM", "0") == "1":
-            y = self._stem_s2d(x, dt)
+            y = self._stem_s2d(x)
         elif os.environ.get("MMB_STEM_CPAD", "0") == "1" \
                 and x.shape[-1] == 3:
             # zero-pad C_in 3 -> 8 before the 7x7 (exact: pad taps are 0);
@@ -584,7 +566,7 @@ class ResNeXt50(nn.Module):
         b_local = y.shape[0] // n_data
         if self._use_fused(ura) and y.shape[0] % n_data == 0 \
                 and b_local % 16 == 0:
-            qplan = self._int8_plan(ura)
+            qplan = self._int8_plan()
             if b_local % 32 != 0:
                 qplan = (False,) * len(qplan)
             stem_bn = bn1_mod.raw()[0] if any(qplan) else None

@@ -38,7 +38,8 @@ class QuantizableDense(nn.Dense):
 
     @nn.compact
     def __call__(self, x: jax.Array, ln_scale: jax.Array | None = None,
-                 ln_bias: jax.Array | None = None) -> jax.Array:
+                 ln_bias: jax.Array | None = None,
+                 amax_rows: int | None = None) -> jax.Array:
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
@@ -57,7 +58,8 @@ class QuantizableDense(nn.Dense):
         if self.int8:
             from multimodal_baby_tpu.ops.quant import int8_dense
             return int8_dense(x, kernel, bias,
-                              out_dtype=self.dtype or x.dtype)
+                              out_dtype=self.dtype or x.dtype,
+                              amax_rows=amax_rows)
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
         y = jax.lax.dot_general(
@@ -110,7 +112,8 @@ class ViTAttention(nn.Module):
 
         qkv = QuantizableDense(3 * C, use_bias=self.qkv_bias, name="qkv",
                                dtype=self.dtype, int8=self.int8)(
-                                   x, ln_scale=ln_scale, ln_bias=ln_bias)
+                                   x, ln_scale=ln_scale, ln_bias=ln_bias,
+                                   amax_rows=kv_valid)
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
@@ -147,7 +150,7 @@ class ViTAttention(nn.Module):
                 return attn
             y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
         return QuantizableDense(C, name="proj", dtype=self.dtype,
-                                int8=self.int8)(y)
+                                int8=self.int8)(y, amax_rows=kv_valid)
 
 
 class ViTBlock(nn.Module):
@@ -174,10 +177,11 @@ class ViTBlock(nn.Module):
             s2, b2 = _LNParams(self.dim, name="norm2")()
             h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
                                  dtype=self.dtype, int8=self.int8)(
-                                     _norm_only(x), ln_scale=s2, ln_bias=b2)
+                                     _norm_only(x), ln_scale=s2, ln_bias=b2,
+                                     amax_rows=kv_valid)
             h = nn.gelu(h, approximate=False)
             h = QuantizableDense(self.dim, name="fc2", dtype=self.dtype,
-                                 int8=self.int8)(h)
+                                 int8=self.int8)(h, amax_rows=kv_valid)
             return x + h
         ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype)
         y = ln(name="norm1")(x)
@@ -190,10 +194,11 @@ class ViTBlock(nn.Module):
                                  y, kv_valid=kv_valid)
         h = ln(name="norm2")(x)
         h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
-                             dtype=self.dtype, int8=self.int8)(h)
+                             dtype=self.dtype, int8=self.int8)(
+                                 h, amax_rows=kv_valid)
         h = nn.gelu(h, approximate=False)
         h = QuantizableDense(self.dim, name="fc2", dtype=self.dtype,
-                             int8=self.int8)(h)
+                             int8=self.int8)(h, amax_rows=kv_valid)
         return x + h
 
 

@@ -72,9 +72,15 @@ __all__ = [
 ]
 
 BSUB = 16  # batch lanes in the sublane dimension (bf16 min tile is 16)
-# v5e VMEM is 128 MiB; leave headroom. MMB_HWBC_VMEM (MiB) overrides —
-# the one-band whole-stage plans sit just above 100 MiB by arithmetic.
-VMEM_LIMIT = int(os.environ.get("MMB_HWBC_VMEM", "100")) * 1024 * 1024
+
+
+def VMEM_LIMIT() -> int:
+    """Compiler VMEM cap per pallas_call, bytes. v5e VMEM is 128 MiB;
+    leave headroom. MMB_HWBC_VMEM (MiB) overrides — the one-band
+    whole-stage plans sit just above 100 MiB by arithmetic. Read at
+    call time (not import) so queue scripts and test monkeypatches can
+    set it after the package is imported."""
+    return int(os.environ.get("MMB_HWBC_VMEM", "100")) * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -392,7 +398,7 @@ def fused_bottleneck_hwbc(
             pltpu.VMEM((hin + 2, Bq, Wp, bsub, width), fw["w1"].dtype),
             pltpu.VMEM((R, Bq, Wo, bsub, width), fw["w1"].dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT()),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_img * B), transcendentals=0,
             bytes_accessed=int(bytes_img * B)),
@@ -476,7 +482,7 @@ def fused_bottleneck_tiles(
                 pltpu.VMEM((R, Bq, Wo, BSUB, width), x.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(int(scoped), VMEM_LIMIT)),
+                vmem_limit_bytes=min(int(scoped), VMEM_LIMIT())),
             interpret=_interpret(),
         )(ih, lo, main, hi, fw["w1"], fw["a1"].reshape(1, -1),
           fw["b1"].reshape(1, -1), fw["w2"], fw["a2"].reshape(1, -1),
@@ -729,7 +735,7 @@ def fused_stage_hwbc(
             pltpu.VMEM((Ho, Bq, Wo, bsub, cout), x.dtype),
             pltpu.VMEM((7, Bq, Wo, bsub, width), fws[0]["w1"].dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT()),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_img * B), transcendentals=0,
             bytes_accessed=int((H * W * cin0 + Ho * Wo * cout) * 2 * B)),
@@ -984,8 +990,10 @@ def fused_stage_banded(
     alias one buffer)."""
     H, nBq, W, bsub, cin0 = x.shape
     assert bsub in (16, 32)
-    if Bc % bsub:
-        Bc = bsub
+    if Bc < bsub:
+        Bc = bsub  # the default Bc=16 under an int8 (bsub=32) input
+    assert Bc % bsub == 0, \
+        f"Bc={Bc} is not a multiple of the sublane batch {bsub}"
     Bq = Bc // bsub
     n_blocks = len(fws)
     width = fws[0]["w1"].shape[1]
@@ -1096,7 +1104,7 @@ def fused_stage_banded(
             pltpu.VMEM((max_t_ext, Bq, Wo, bsub, cout), x.dtype),
             pltpu.VMEM((R, Bq, Wo, bsub, width), fws[0]["w1"].dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT()),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_img * B), transcendentals=0,
             bytes_accessed=int(

@@ -308,19 +308,29 @@ def with_unit_scales(fw: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
 # quantized from the f32 params in-graph (loop-invariant for a frozen
 # trunk, so XLA hoists the quantization out of the step loop).
 
-def int8_dense(x, kernel, bias=None, out_dtype=None):
+def int8_dense(x, kernel, bias=None, out_dtype=None, amax_rows=None):
     """y = x @ kernel (+ bias) with an int8 MXU dot.
 
     x: [..., K] float; kernel: [K, N] f32/bf16 param; per-output-channel
     symmetric weight int8, per-tensor dynamic symmetric activation int8,
     f32 epilogue. Intended for FROZEN weights: jnp.round's zero gradient
-    makes the quantization non-differentiable by design."""
+    makes the quantization non-differentiable by design.
+
+    amax_rows (static int): restrict the dynamic activation amax to the
+    first amax_rows entries of the second-minor axis. Tile-padded token
+    streams (MMB_VIT_PADSEQ) pass the real token count so pad rows —
+    which carry bias/LN-beta garbage after block 0 — cannot inflate or
+    deflate the per-tensor scale, keeping real-token outputs identical
+    to the unpadded int8 computation."""
     xf = x.astype(jnp.float32)
     w_scale = jnp.maximum(
         jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0), 1e-12) / 127.0
     w_q = jnp.clip(jnp.round(kernel.astype(jnp.float32) / w_scale),
                    -127, 127).astype(jnp.int8)
-    a = jnp.max(jnp.abs(xf))
+    if amax_rows is not None and x.ndim >= 2 and amax_rows < x.shape[-2]:
+        a = jnp.max(jnp.abs(xf[..., :amax_rows, :]))
+    else:
+        a = jnp.max(jnp.abs(xf))
     a_scale = jnp.maximum(a, 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(

@@ -108,6 +108,7 @@ class Trainer:
                 calib = init_batch["image"][:32]
             variables = calibrate_cvcl(variables, calib)
             self.extra_cols = {"quant_scales": variables["quant_scales"]}
+            self._calib_images = calib
         self.state = TrainState(
             variables["params"], variables.get("batch_stats", {}),
             self.optimizer.init(variables["params"]),
@@ -144,7 +145,30 @@ class Trainer:
         self.state = self.state._replace(
             opt_state=set_learning_rate(self.state.opt_state,
                                         float(restored["lr"])))
+        if "quant_scales" in self.extra_cols:
+            self._recalibrate()
         print(f"resumed from epoch {self.start_epoch - 1}")
+
+    def _recalibrate(self):
+        """Re-measure int8 activation scales against the CURRENT params.
+
+        _build calibrates on the fresh random-init weights; after a
+        checkpoint resume those ranges belong to a different network and
+        would systematically mis-scale the restored trunk's int8 codes,
+        so resume re-runs calibration on the restored weights and
+        rebuilds the steps that close over the scales."""
+        from multimodal_baby_tpu.models.quant_calib import calibrate_cvcl
+        variables = calibrate_cvcl(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats},
+            self._calib_images)
+        self.extra_cols = {"quant_scales": variables["quant_scales"]}
+        cfg = self.cfg
+        self.train_step = make_train_step(
+            self.model, cfg, self.optimizer, self.mesh, donate=True,
+            extra_cols=self.extra_cols)
+        self.eval_step = make_eval_step(self.model, cfg, self.mesh,
+                                        extra_cols=self.extra_cols)
 
     def _checkpoint_tree(self, epoch: int):
         return {"state": tuple(self.state),

@@ -101,3 +101,41 @@ def test_dataset_batch_items_matches_per_item(images, tmp_path):
     np.testing.assert_array_equal(fast["text"], slow["text"])
     np.testing.assert_array_equal(fast["text_len"], slow["text_len"])
     assert fast["raw"] == slow["raw"]
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_batch_decode_checked_reports_failures(images):
+    paths = [images["png"][0], "/nonexistent/file.jpg", images["jpg"][0]]
+    out, ok = native.decode_batch_checked(paths, 224, n_threads=2)
+    np.testing.assert_array_equal(ok, [1, 0, 1])
+    np.testing.assert_array_equal(out[0], images["png"][1])
+    assert (out[1] == 0).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_batch_items_pil_fallback_for_native_failures(images, tmp_path):
+    """A frame the C++ decoder can't read (GIF — outside its JPEG/PNG
+    sniffing) but PIL can must reach the batch through the PIL fallback,
+    not as a silently zero-filled black frame."""
+    from multimodal_baby_tpu.data.datasets import PairedImageTextDataset
+    from multimodal_baby_tpu.data.vocab import Vocab
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, (224, 224, 3), np.uint8)
+    gif = str(tmp_path / "frame.gif")
+    Image.fromarray(arr).save(gif)
+    assert native.decode_image(gif, 224) is None  # native can't read it
+
+    utterances = ["the ball", "a cat"]
+    vocab = Vocab.build(utterances, min_freq=1)
+    data = [{"utterance": utterances[0], "frame_filename": gif},
+            {"utterance": utterances[1],
+             "frame_filename": images["png"][0]}]
+    ds = PairedImageTextDataset(data, vocab)
+
+    with pytest.warns(UserWarning, match="native decode failed"):
+        batch = ds.batch_items(np.asarray([0, 1]))
+    assert not (batch["image_u8"][0] == 0).all()
+    gif_pixels = np.asarray(Image.open(gif).convert("RGB"))
+    np.testing.assert_array_equal(batch["image_u8"][0], gif_pixels)
+    np.testing.assert_array_equal(batch["image_u8"][1], images["png"][1])

@@ -362,19 +362,19 @@ def test_int8_plan_validation():
     from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
 
     with pytest.raises(ValueError, match="suffix"):
-        ResNeXt50(trunk_int8=(True, False, True, True))._int8_plan(True)
+        ResNeXt50(trunk_int8=(True, False, True, True))._int8_plan()
     with pytest.raises(ValueError, match="entries"):
-        ResNeXt50(trunk_int8=(True,))._int8_plan(True)
-    assert ResNeXt50(trunk_int8="0,0,1,1")._int8_plan(True) == (
+        ResNeXt50(trunk_int8=(True,))._int8_plan()
+    assert ResNeXt50(trunk_int8="0,0,1,1")._int8_plan() == (
         False, False, "q", "q")
-    assert ResNeXt50(trunk_int8=True)._int8_plan(True) == ("q",) * 4
-    assert ResNeXt50(trunk_int8="t,t,1,1")._int8_plan(True) == (
+    assert ResNeXt50(trunk_int8=True)._int8_plan() == ("q",) * 4
+    assert ResNeXt50(trunk_int8="t,t,1,1")._int8_plan() == (
         "t", "t", "q", "q")
-    assert ResNeXt50(trunk_int8="t")._int8_plan(True) == ("t",) * 4
+    assert ResNeXt50(trunk_int8="t")._int8_plan() == ("t",) * 4
     with pytest.raises(ValueError, match="suffix"):
-        ResNeXt50(trunk_int8="t,0,1,1")._int8_plan(True)
+        ResNeXt50(trunk_int8="t,0,1,1")._int8_plan()
     with pytest.raises(ValueError, match="0/1/t"):
-        ResNeXt50(trunk_int8="0,0,x,1")._int8_plan(True)
+        ResNeXt50(trunk_int8="0,0,x,1")._int8_plan()
 
 
 # ---------------------------------------------------------------------------
@@ -490,9 +490,12 @@ def test_lnfold_vit_matches_plain():
 
 
 def test_int8_vit_cosine_with_padseq(monkeypatch):
-    """Token-axis tile padding (MMB_VIT_PADSEQ) must not degrade the int8
-    path: pad rows enter the per-tensor activation amax of int8_dense, so
-    pin that the cls cosine vs f32 stays at the same gate as int8 alone."""
+    """Token-axis tile padding (MMB_VIT_PADSEQ) must not change the int8
+    path: int8_dense's dynamic activation amax is restricted to the real
+    token rows (amax_rows), so pad rows — nonzero after block 0 via
+    bias/LN-beta — cannot shift the per-tensor scale. Real-token outputs
+    must match the UNPADDED int8 run exactly, and the cosine gate vs f32
+    stays at the int8-alone level."""
     from multimodal_baby_tpu.models.vision_vit import VisionTransformerDino
 
     rng = np.random.RandomState(2)
@@ -505,9 +508,15 @@ def test_int8_vit_cosine_with_padseq(monkeypatch):
     monkeypatch.setenv("MMB_VIT_PADSEQ", "0")
     want = np.asarray(ref.apply(vs, imgs))
 
-    monkeypatch.setenv("MMB_VIT_PADSEQ", "auto")
     q = VisionTransformerDino(**kw, int8=True)
+    want_int8 = np.asarray(q.apply(vs, imgs), np.float32)
+
+    monkeypatch.setenv("MMB_VIT_PADSEQ", "auto")
     got = np.asarray(q.apply(vs, imgs), np.float32)
+
+    # padding must be invisible to the int8 computation (same scales,
+    # masked attention): real-token outputs equal the unpadded int8 run
+    np.testing.assert_allclose(got, want_int8, atol=1e-5, rtol=1e-5)
 
     cos = (want * got).sum(-1) / (
         np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-9)

@@ -147,3 +147,42 @@ def test_vocab_mismatch_is_hard_error(tmp_path):
 
     with pytest.raises(ValueError, match="vocab_size"):
         CVCLModel.from_checkpoint_dir(tmp_path / "t", which="best")
+
+
+def test_resume_recalibrates_int8_scales(tmp_path, monkeypatch):
+    """int8 activation scales measured on random-init weights are wrong
+    for a restored checkpoint: _resume must re-run calibration against
+    the restored params (train/trainer.py:_recalibrate)."""
+    import jax.numpy as jnp
+
+    from multimodal_baby_tpu.models import quant_calib
+
+    cfg = make_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.fit()
+
+    calls = []
+
+    def fake_calibrate(variables, images):
+        calls.append(jax.tree_util.tree_map(np.asarray, variables["params"]))
+        out = dict(variables)
+        out["quant_scales"] = {"calibrated": jnp.float32(len(calls))}
+        return out
+
+    monkeypatch.setattr(quant_calib, "calibrate_cvcl", fake_calibrate)
+
+    cfg2 = make_cfg(tmp_path, resume_ckpt="last", max_epochs=3)
+    trainer2 = Trainer(cfg2)
+    # simulate an int8 run: quant scales active from _build's calibration
+    trainer2.extra_cols = {"quant_scales": {"calibrated": jnp.float32(0)}}
+    trainer2._calib_images = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    trainer2._resume("last")
+
+    assert len(calls) == 1, "resume must re-run calibration"
+    # calibration saw the RESTORED params, not fresh random-init ones
+    restored = jax.tree_util.tree_map(np.asarray, trainer2.state.params)
+    flat_seen = jax.tree_util.tree_leaves(calls[0])
+    flat_restored = jax.tree_util.tree_leaves(restored)
+    assert all(np.allclose(a, b) for a, b in zip(flat_seen, flat_restored))
+    # and the steps now close over the new scales
+    assert float(trainer2.extra_cols["quant_scales"]["calibrated"]) == 1.0
