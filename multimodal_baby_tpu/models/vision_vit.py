@@ -125,15 +125,16 @@ class ViTAttention(nn.Module):
         # reshape/transpose copies through every block in the full step
         # (measured 1461 vs 1559 pairs/s end-to-end at B=256) — see
         # BENCH_NOTES.md. MMB_FUSED_ATTN=1 re-enables.
-        if not return_attention and kv_valid is None \
+        if not return_attention \
                 and jax.devices()[0].platform == "tpu" \
                 and os.environ.get("MMB_FUSED_ATTN", "0") == "1" \
                 and should_fuse_attention(N, head_dim):
-            # Pallas kernel: scores never leave VMEM (ops/attention.py)
+            # Pallas kernel: scores never leave VMEM (ops/attention.py);
+            # kv_valid masks pad key columns under MMB_VIT_PADSEQ
             def heads_first(t):
                 return t.transpose(0, 2, 1, 3).reshape(B * H, N, head_dim)
             y = fused_attention(heads_first(q), heads_first(k),
-                                heads_first(v), scale)
+                                heads_first(v), scale, kv_valid)
             y = y.reshape(B, H, N, head_dim).transpose(0, 2, 1, 3)
             y = y.reshape(B, N, C)
         else:

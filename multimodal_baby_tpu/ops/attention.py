@@ -24,13 +24,20 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 kv_valid: int | None = None):
     q = q_ref[0].astype(jnp.float32)  # [N, d]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale      # [N, N]
+    if kv_valid is not None and kv_valid < s.shape[-1]:
+        # tile-padded token stream (MMB_VIT_PADSEQ): key columns >=
+        # kv_valid are pad tokens; -1e9 underflows exp() to 0 exactly,
+        # mirroring the XLA path's mask (models/vision_vit.py)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = s + jnp.where(col < kv_valid, 0.0, -1e9)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -47,10 +54,10 @@ def _xla_attention(q, k, v, scale):
                       ).astype(q.dtype)
 
 
-def _pallas_attention(q, k, v, scale):
+def _pallas_attention(q, k, v, scale, kv_valid=None):
     BH, N, d = q.shape
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, kv_valid=kv_valid),
         grid=(BH,),
         in_specs=[
             pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
@@ -66,20 +73,34 @@ def _pallas_attention(q, k, v, scale):
     )(q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention(q, k, v, scale: float):
-    """q, k, v: [B*H, N, d] -> [B*H, N, d]; VMEM-resident scores."""
-    return _pallas_attention(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, scale: float, kv_valid: int | None = None):
+    """q, k, v: [B*H, N, d] -> [B*H, N, d]; VMEM-resident scores.
+
+    kv_valid (static): mask key columns >= kv_valid (tile-padded token
+    streams, MMB_VIT_PADSEQ) — real-row outputs equal the unpadded
+    computation."""
+    return _pallas_attention(q, k, v, scale, kv_valid)
 
 
-def _fwd(q, k, v, scale):
-    return _pallas_attention(q, k, v, scale), (q, k, v)
+def _fwd(q, k, v, scale, kv_valid):
+    return _pallas_attention(q, k, v, scale, kv_valid), (q, k, v)
 
 
-def _bwd(scale, res, g):
+def _bwd(scale, kv_valid, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale),
-                     q, k, v)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * scale
+        if kv_valid is not None and kv_valid < s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = s + jnp.where(col < kv_valid, 0.0, -1e9)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bnm,bmd->bnd", p, v.astype(jnp.float32)
+                          ).astype(q.dtype)
+
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 

@@ -203,3 +203,39 @@ def test_lstm_kernel_long_sequence_dispatch():
     # CPU backend -> always False, but the length gate is checked first
     assert not _use_fused_lstm((256, 25, 2048), 512)
     assert FUSED_LSTM_MIN_LEN > 25  # CVCL shapes stay on the scan
+
+
+def test_fused_attention_kv_valid_masks_pad_keys():
+    """kv_valid (MMB_VIT_PADSEQ support): pad key columns must be
+    invisible — real-row outputs equal attention over the first kv_valid
+    tokens alone, whatever garbage sits in the pad slots."""
+    from multimodal_baby_tpu.ops.attention import fused_attention
+    rng = np.random.RandomState(1)
+    BH, N, d, valid = 4, 24, 8, 17
+    q = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, N, d).astype(np.float32))
+    # poison the pad slots to prove they can't leak through
+    k = k.at[:, valid:].set(1e3)
+    v = v.at[:, valid:].set(-1e3)
+    scale = 1.0 / np.sqrt(d)
+
+    out = fused_attention(q, k, v, scale, valid)
+    ref = fused_attention(q[:, :valid], k[:, :valid], v[:, :valid], scale)
+    np.testing.assert_allclose(np.asarray(out[:, :valid]),
+                               np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    # backward: real-row cotangents produce the unpadded gradients
+    def loss(q, k, v):
+        return (fused_attention(q, k, v, scale, valid)[:, :valid] ** 2
+                ).sum()
+
+    def loss_ref(q, k, v):
+        return (fused_attention(q[:, :valid], k[:, :valid],
+                                v[:, :valid], scale) ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, err_msg=f"d{name}")
