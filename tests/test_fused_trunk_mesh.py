@@ -21,10 +21,10 @@ from multimodal_baby_tpu.models.vision_resnext import ResNeXt50  # noqa: E402
 from multimodal_baby_tpu.parallel import create_mesh  # noqa: E402
 
 
-@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("int8", [False, True, "mixed"])
 def test_fused_trunk_under_data_mesh(monkeypatch, int8):
     rng = np.random.RandomState(0)
-    B = 128 if int8 else 64  # 32 (int8) / 16 (bf16) rows per shard
+    B = 64 if int8 is False else 128  # 32 (int8) / 16 (bf16) rows/shard
     imgs = jnp.asarray(rng.randn(B, 64, 64, 3), jnp.float32)
 
     ref_mod = ResNeXt50(dtype=None, dense_groups=False, fused_trunk=False)
@@ -38,14 +38,19 @@ def test_fused_trunk_under_data_mesh(monkeypatch, int8):
     if int8:
         from multimodal_baby_tpu.models.quant_calib import (
             calibrate_backbone)
-        monkeypatch.setenv("MMB_TRUNK_INT8", "1")
+        # "mixed" = the bench-default plan (bf16 layers 1-2 + int8
+        # layers 3-4): exercises the amax_chain threading through bf16
+        # blocks to the bf16 -> int8 stage boundary under shard_map
+        monkeypatch.setenv("MMB_TRUNK_INT8",
+                           "0,0,1,1" if int8 == "mixed" else "1")
         extra["quant_scales"] = calibrate_backbone(params, stats, imgs[:32])
     else:
         monkeypatch.setenv("MMB_TRUNK_INT8", "0")
 
     mesh = create_mesh((4, 1), devices=jax.devices()[:4])
     fused_mod = ResNeXt50(dtype=jnp.bfloat16,
-                          trunk_int8=int8)
+                          trunk_int8=(False, False, True, True)
+                          if int8 == "mixed" else bool(int8))
     x_sharded = jax.device_put(
         imgs.astype(jnp.bfloat16),
         NamedSharding(mesh, P("data", None, None, None)))
