@@ -595,10 +595,15 @@ class ResNeXt50(nn.Module):
         return {"pooled": pooled, "feature_map": y}
 
     # per-stage kernel strategy for the fused trunk:
-    #   "blocks"   — one fused Pallas call per bottleneck block
-    #   "full"     — whole stage in one call, full spatial extent in VMEM
-    #   "split"    — stride-2 head block alone + "full" for the tail
-    #   "bandedN"  — whole stage, banded over N output rows per grid cell
+    #   "blocks"      — one fused Pallas call per bottleneck block
+    #   "full"        — whole stage in one call, full spatial extent in VMEM
+    #   "split"       — stride-2 head block alone + "full" for the tail
+    #   "bandedN"     — whole stage, banded over N output rows per grid cell
+    #   "splitbandN"  — head block alone + bandedN over the tail blocks
+    #                   (N = tail output rows -> one band, zero halo
+    #                   recompute, WITHOUT the head conv1's full-input-
+    #                   width VMEM spike that makes whole-stage one-band
+    #                   plans OOM on the large-spatial stages)
     # Override with MMB_TRUNK_PLAN="banded14,blocks,split,full"-style.
     # Default = measured-best on v5e at B=1024 under the mixed-precision
     # plan (bench A/B, BENCH_NOTES.md): 28-row bands through all of
@@ -687,6 +692,8 @@ class ResNeXt50(nn.Module):
             if q_stage == "q" and mode.startswith("banded"):
                 mode = "blocks"  # banded kernels can't run int8 DOTS
                 # (transport stages — int8 I/O, bf16 dots — stay banded)
+            if q_stage == "q" and mode.startswith("splitband"):
+                mode = "split"  # same int8-dot limitation in the tail
             stage_fws.append(fws)
             stage_strides.append(strides)
             stage_modes.append(mode)
@@ -730,6 +737,18 @@ class ResNeXt50(nn.Module):
                 elif mode == "split":
                     y = fused_bottleneck_hwbc(y, fws[0], stride=strides[0])
                     y = fused_stage_hwbc(y, fws[1:], strides[1:])
+                elif mode.startswith("splitband"):
+                    hh = int(mode[9:]) if len(mode) > 9 else 14
+                    y = fused_bottleneck_hwbc(y, fws[0], stride=strides[0])
+                    ho = y.shape[0]
+                    hh = min(hh, ho)
+                    if len(fws) == 1:
+                        pass  # single-block stage: the head was the stage
+                    elif ho % hh:  # band must tile the tail output rows
+                        y = fused_stage_hwbc(y, fws[1:], strides[1:])
+                    else:
+                        y = fused_stage_banded(y, fws[1:], strides[1:],
+                                               hh=hh)
                 elif mode.startswith("banded"):
                     hh = int(mode[6:]) if len(mode) > 6 else 14
                     ho = y.shape[0] // strides[0]

@@ -121,6 +121,35 @@ def test_fused_stage_banded(H, cin, strides, hh, R):
     assert rel_err(got, stage_reference(x, fws, strides)) < RTOL
 
 
+@pytest.mark.parametrize("plan", [
+    # one-band tails on every stage (zero halo recompute), incl. the
+    # default-N spelling and a non-tiling N that exercises the
+    # fused_stage_hwbc fallback (16 % 5 != 0)
+    "splitband16,splitband8,splitband4,splitband2",
+    "splitband5,splitband,blocks,splitband2",
+])
+def test_fused_trunk_splitband_plans(monkeypatch, plan):
+    """splitbandN (head block alone + banded tail) matches the conv path
+    through the full trunk, including the non-tiling-N fallback."""
+    from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(16, 64, 64, 3).astype(np.float32))
+    m = ResNeXt50(dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("MMB_FUSED_TRUNK", "0")
+    ref = m.apply(v, x, train=False)
+    monkeypatch.setenv("MMB_FUSED_TRUNK", "1")
+    monkeypatch.setenv("MMB_TRUNK_PLAN", plan)
+    got = m.apply(v, x, train=False)
+    for k in ("pooled", "feature_map"):
+        a = np.asarray(ref[k], np.float32)
+        b = np.asarray(got[k], np.float32)
+        assert a.shape == b.shape
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05  # bf16 noise
+
+
 def test_fused_trunk_matches_conv_path(monkeypatch):
     """ResNeXt50's fused path (forced via MMB_FUSED_TRUNK=1, interpreter
     mode on CPU) matches the flax conv path on a tiny input."""
