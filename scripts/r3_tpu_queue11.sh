@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-3 TPU queue 11: VMEM-OOM insurance for the one-band banded plans.
-# Queue 9/10 try them at caps 116/120; the L2 one-band working set is
-# estimated ~121 MB with double-buffering, so an OOM there is expected —
-# these retries run at 126 MB (hardware VMEM is 128). Compile OOMs fail
-# fast, successful compiles give the decisive number either way.
+# Round-3 TPU queue 11 (REWRITTEN after queue-9 OOM data): the original
+# 126 MB-cap retries are pointless — the one-band whole-stage plans
+# need 158-165 MB of the 128 MB physical VMEM (queue-9 compiler OOM
+# reports), so no vmem_limit_bytes value can admit them. Kept: combos
+# of the queue-10 winners, measured only if queue 10 shows a win.
 set -u
 LOG=${1:-/tmp/r3_queue11.log}
 Q10LOG=${2:-/tmp/r3_queue10.log}
@@ -24,7 +24,8 @@ run() {
   echo "---" | tee -a "$LOG"
 }
 
-run MMB_HWBC_VMEM=126 MMB_TRUNK_PLAN=banded56,blocks,split,full python -u bench.py
-run MMB_HWBC_VMEM=126 MMB_TRUNK_PLAN=banded28,banded28,split,full python -u bench.py
-run MMB_HWBC_VMEM=126 MMB_TRUNK_PLAN=banded56,banded28,split,full python -u bench.py
+# L1 splitband on top of the best queue-10 trunk plan candidates
+# (L1 tail = 2-block one-band at 56x56; may VMEM-OOM -> fails fast)
+run MMB_TRUNK_PLAN=splitband56,splitband28,split,full python -u bench.py
+run MMB_TRUNK_PLAN=splitband56,splitband28,full,full python -u bench.py
 echo "QUEUE11 DONE" | tee -a "$LOG"
