@@ -114,12 +114,26 @@ class ViTAttention(nn.Module):
                                dtype=self.dtype, int8=self.int8)(
                                    x, ln_scale=ln_scale, ln_bias=ln_bias,
                                    amax_rows=kv_valid)
-        qkv = qkv.reshape(B, N, 3, H, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
         import os
         from multimodal_baby_tpu.ops.attention import (
-            fused_attention, should_fuse_attention)
+            fused_attention, fused_attention_pairs, should_fuse_attention,
+            should_fuse_attention_pairs)
+        # layout-native pair-packed kernel: consumes the qkv projection's
+        # own [B, N, C] lane layout (no transposes, no lane padding) and
+        # keeps the [N, N] scores in VMEM — see ops/attention.py
+        if not return_attention \
+                and jax.devices()[0].platform == "tpu" \
+                and os.environ.get("MMB_FUSED_ATTN", "0") in ("2", "pairs") \
+                and should_fuse_attention_pairs(N, H, head_dim):
+            y = fused_attention_pairs(
+                qkv[:, :, :C], qkv[:, :, C:2 * C], qkv[:, :, 2 * C:],
+                H, scale, kv_valid)
+            return QuantizableDense(C, name="proj", dtype=self.dtype,
+                                    int8=self.int8)(y, amax_rows=kv_valid)
+
+        qkv = qkv.reshape(B, N, 3, H, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
         # default OFF for the ViT: the kernel wins in isolation (-30% on
         # the attention op) but its operand layout constraints force
         # reshape/transpose copies through every block in the full step

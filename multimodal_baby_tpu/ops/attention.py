@@ -111,3 +111,150 @@ def should_fuse_attention(n_tokens: int, head_dim: int) -> bool:
     """VMEM budget: scores + q/k/v/out blocks, f32."""
     working = (n_tokens * n_tokens + 4 * n_tokens * head_dim) * 4
     return working < 12 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Layout-native pair-packed attention.
+#
+# The per-(batch, head) kernel above loses end-to-end because its operands
+# need a heads-first [B*H, N, d] layout: XLA pays a transpose on both sides
+# of every block, and the d=64 minor dim wastes half of every 128-lane VMEM
+# tile/DMA. This kernel takes q/k/v exactly as the qkv projection produces
+# them — [B, N, C] with lanes ordered (head, feature) — so adjacent HEAD
+# PAIRS occupy one 128-lane block and every slice is tile-aligned. No
+# transposes, no lane padding.
+#
+# Per-head scores from pair-packed dots (the +/- trick): with
+# Qp = [q_a | q_b] and Kp = [k_a | k_b] ([N, 128], heads a,b side by side),
+#     Qp Kp^T            = q_a k_a^T + q_b k_b^T   (sum of both heads)
+#     Qp (Kp * sign)^T   = q_a k_a^T - q_b k_b^T   (sign = +1 lo / -1 hi)
+# so s_a = (sum + diff)/2 and s_b = (sum - diff)/2 — two full-K=128 MXU
+# dots per pair, the same MAC count as one padded K=64 dot per head, with
+# zero relayouts (the sign flip is one VPU multiply on k).
+#
+# The value contraction recombines for free: with lane masks instead of
+# sign flips, p_a (V * lo) leaves head a's output in lanes 0:64 and zeros
+# elsewhere, p_b (V * hi) fills lanes 64:128, and their SUM is the packed
+# [N, 128] output pair — no concat copies.
+# ---------------------------------------------------------------------------
+
+
+def _attn_pairs_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       n_pairs: int, kv_valid: int):
+    N = q_ref.shape[1]
+    f32 = jnp.float32
+    for j in range(n_pairs):
+        lo, hi = 128 * j, 128 * (j + 1)
+        Q = q_ref[0, :, lo:hi]          # [N, 128] bf16, tile-aligned
+        K = k_ref[0, :, lo:hi]
+        V = v_ref[0, :, lo:hi]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+        sign = jnp.where(lane < 64, 1.0, -1.0).astype(K.dtype)
+        dn = (((1,), (1,)), ((), ()))
+        ssum = jax.lax.dot_general(Q, K, dn, preferred_element_type=f32)
+        sdiff = jax.lax.dot_general(Q, (K * sign), dn,
+                                    preferred_element_type=f32)
+        half_scale = 0.5 * scale
+        sa = (ssum + sdiff) * half_scale
+        sb = (ssum - sdiff) * half_scale
+
+        # mask pad key columns (tile padding and/or kv_valid): exp -> 0
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        cmask = jnp.where(col < kv_valid, 0.0, -1e9).astype(f32)
+
+        def smax(s):
+            s = s + cmask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            return (p / jnp.sum(p, axis=-1, keepdims=True)).astype(Q.dtype)
+
+        pa, pb = smax(sa), smax(sb)
+        lomask = jnp.where(lane < 64, 1.0, 0.0).astype(V.dtype)
+        dnv = (((1,), (0,)), ((), ()))
+        ya = jax.lax.dot_general(pa, V * lomask, dnv,
+                                 preferred_element_type=f32)
+        yb = jax.lax.dot_general(pb, V * (1.0 - lomask), dnv,
+                                 preferred_element_type=f32)
+        o_ref[0, :, lo:hi] = (ya + yb).astype(o_ref.dtype)
+
+
+def _xla_attention_pairs(q, k, v, num_heads: int, scale: float,
+                         kv_valid=None):
+    """Oracle/VJP reference: q/k/v [B, N, C] lanes ordered (head, d)."""
+    B, N, C = q.shape
+    d = C // num_heads
+
+    def split(t):
+        return t.reshape(B, N, num_heads, d)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", split(q).astype(jnp.float32),
+                   split(k).astype(jnp.float32)) * scale
+    n_keys = N if kv_valid is None else kv_valid
+    if n_keys < N:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = s + jnp.where(col < n_keys, 0.0, -1e9)
+    p = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum("bhqk,bkhd->bqhd", p, split(v).astype(jnp.float32))
+    return y.reshape(B, N, C).astype(q.dtype)
+
+
+def _pallas_attention_pairs(q, k, v, num_heads, scale, kv_valid=None):
+    B, N, C = q.shape
+    n_pairs = C // 128
+    spec = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _attn_pairs_kernel, scale=scale, n_pairs=n_pairs,
+        kv_valid=N if kv_valid is None else min(kv_valid, N))
+    flops = 4 * B * n_pairs * N * N * 128 * 2  # 2x ideal: the +/- packing
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=2 * B * n_pairs * N * N,
+            bytes_accessed=4 * B * N * C * q.dtype.itemsize),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_pairs(q, k, v, num_heads: int, scale: float,
+                          kv_valid: int | None = None):
+    """Multi-head attention on the qkv projection's NATIVE [B, N, C]
+    layout (lanes = (head, feature), head_dim 64): scores stay in VMEM,
+    zero operand transposes. Requires head_dim == 64 and an even head
+    count (see should_fuse_attention_pairs)."""
+    return _pallas_attention_pairs(q, k, v, num_heads, scale, kv_valid)
+
+
+def _pairs_fwd(q, k, v, num_heads, scale, kv_valid):
+    return _pallas_attention_pairs(q, k, v, num_heads, scale,
+                                   kv_valid), (q, k, v)
+
+
+def _pairs_bwd(num_heads, scale, kv_valid, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention_pairs(q, k, v, num_heads, scale,
+                                             kv_valid), q, k, v)
+    return vjp(g)
+
+
+fused_attention_pairs.defvjp(_pairs_fwd, _pairs_bwd)
+
+
+def should_fuse_attention_pairs(n_tokens: int, num_heads: int,
+                                head_dim: int) -> bool:
+    """Pair-packing needs head_dim 64 (two heads fill one 128-lane block)
+    and an even head count; VMEM: the q/k/v/out blocks plus a handful of
+    [N, N] f32 score/prob tensors per unrolled pair."""
+    if head_dim != 64 or num_heads % 2:
+        return False
+    working = (4 * n_tokens * num_heads * head_dim * 2
+               + 6 * n_tokens * n_tokens * 4)
+    return working < 48 * 1024 * 1024

@@ -239,3 +239,70 @@ def test_fused_attention_kv_valid_masks_pad_keys():
     for name, a, b in zip("qkv", g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, err_msg=f"d{name}")
+
+
+def test_fused_attention_pairs_matches_einsum_oracle():
+    """Pair-packed layout-native attention (ops/attention.py): the +/-
+    score-separation trick and the lane-masked value recombination must
+    reproduce per-head softmax attention exactly (f32, interpret mode)."""
+    from multimodal_baby_tpu.ops.attention import (
+        _xla_attention_pairs, fused_attention_pairs)
+    rng = np.random.RandomState(2)
+    B, N, H, d = 2, 10, 4, 64
+    C = H * d
+    q, k, v = (jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+               for _ in range(3))
+    scale = d ** -0.5
+    out = fused_attention_pairs(q, k, v, H, scale)
+    ref = _xla_attention_pairs(q, k, v, H, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # kv_valid: poisoned pad rows must be invisible to real queries
+    valid = 7
+    kp = k.at[:, valid:].set(1e3)
+    vp = v.at[:, valid:].set(-1e3)
+    out = fused_attention_pairs(q, kp, vp, H, scale, valid)
+    ref = _xla_attention_pairs(q[:, :valid], k[:, :valid], v[:, :valid],
+                               H, scale)
+    np.testing.assert_allclose(np.asarray(out[:, :valid]), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # backward (rematerialized XLA VJP) against direct autodiff
+    def loss(q, k, v):
+        return (fused_attention_pairs(q, k, v, H, scale) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention_pairs(q, k, v, H, scale) ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, err_msg=f"d{name}")
+
+
+def test_fused_attention_pairs_vit_dispatch_parity():
+    """MMB_FUSED_ATTN=pairs through the real ViT block: the gate only
+    engages on TPU, so force the kernel path by calling it directly with
+    the block's qkv layout and compare against the block's einsum path."""
+    from multimodal_baby_tpu.ops.attention import (
+        fused_attention_pairs, should_fuse_attention_pairs)
+    assert should_fuse_attention_pairs(257, 12, 64)
+    assert not should_fuse_attention_pairs(257, 12, 96)   # head_dim != 64
+    assert not should_fuse_attention_pairs(257, 11, 64)   # odd head count
+    rng = np.random.RandomState(3)
+    B, N, H, d = 2, 9, 6, 64
+    C = H * d
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C).astype(np.float32))
+    scale = d ** -0.5
+    # the ViT einsum path's math on the same qkv tensor
+    r = qkv.reshape(B, N, 3, H, d)
+    q5, k5, v5 = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q5, k5) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", attn, v5).reshape(B, N, C)
+    out = fused_attention_pairs(qkv[:, :, :C], qkv[:, :, C:2 * C],
+                                qkv[:, :, 2 * C:], H, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
