@@ -12,6 +12,7 @@ Usage:
 
 Honors MMB_VIT_INT8 / MMB_FUSED_ATTN like the bench script.
 """
+import os
 import sys
 
 import numpy as np
@@ -33,7 +34,10 @@ def capture(trace_dir: str) -> None:
     from multimodal_baby_tpu.train import build_optimizer
     from multimodal_baby_tpu.train.optimizer import frozen_mask
 
-    BATCH, VOCAB = 256, 2350
+    # MMB_VIT_BENCH_BATCH: small batches keep the trace payload under
+    # the tunnel's HTTP 413 request-size limit (B=256 traces exceed it)
+    BATCH = int(os.environ.get("MMB_VIT_BENCH_BATCH", "256"))
+    VOCAB = 2350
     cfg = ExperimentConfig(
         model=ModelConfig(
             embedding_dim=512, vocab_size=VOCAB, embedding_type="flat",

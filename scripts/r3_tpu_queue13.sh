@@ -31,4 +31,12 @@ run MMB_TRUNK_PLAN=banded28,splitband28,split,full python -u bench.py
 run MMB_TRUNK_PLAN=splitband56,splitband28,split,full python -u bench.py
 # 3. the L2 winner + batch amortization
 run MMB_TRUNK_PLAN=banded28,splitband28,split,full MMB_BENCH_BATCH=1536 python -u bench.py
+# 4. ViT: layout-native pair-packed attention (ops/attention.py,
+#    MMB_FUSED_ATTN=pairs) — no transposes, scores in VMEM
+run MMB_FUSED_ATTN=pairs python -u scripts/perf_vit_flagship.py
+# 5. pairs + int8 Denses (the one prior ViT win)
+run MMB_FUSED_ATTN=pairs MMB_VIT_INT8=1 python -u scripts/perf_vit_flagship.py
+# 6. ViT trace at small B (fits the tunnel's HTTP 413 payload limit):
+#    ground truth on where the remaining step time lives
+run MMB_VIT_BENCH_BATCH=32 python -u scripts/profile_vit.py /tmp/trace_vit_b32
 echo "QUEUE13 DONE" | tee -a "$LOG"
