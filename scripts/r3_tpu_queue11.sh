@@ -26,6 +26,6 @@ run() {
 
 # L1 splitband on top of the best queue-10 trunk plan candidates
 # (L1 tail = 2-block one-band at 56x56; may VMEM-OOM -> fails fast)
-run MMB_TRUNK_PLAN=splitband56,splitband28,split,full python -u bench.py
-run MMB_TRUNK_PLAN=splitband56,splitband28,full,full python -u bench.py
+run MMB_HWBC_VMEM=116 MMB_TRUNK_PLAN=splitband56,splitband28,split,full python -u bench.py
+run MMB_HWBC_VMEM=116 MMB_TRUNK_PLAN=splitband56,splitband28,full,full python -u bench.py
 echo "QUEUE11 DONE" | tee -a "$LOG"

@@ -25,12 +25,12 @@ run() {
 
 # 1. L2 splitband: head block + one-band 3-block tail (the lever the
 #    whole-stage one-band plans can't reach under VMEM)
-run MMB_TRUNK_PLAN=banded28,splitband28,split,full python -u bench.py
+run MMB_HWBC_VMEM=116 MMB_TRUNK_PLAN=banded28,splitband28,split,full python -u bench.py
 # 2. L1 splitband too (2-block one-band tail at 56x56 — may VMEM-OOM,
 #    fails fast, cheap information)
-run MMB_TRUNK_PLAN=splitband56,splitband28,split,full python -u bench.py
+run MMB_HWBC_VMEM=116 MMB_TRUNK_PLAN=splitband56,splitband28,split,full python -u bench.py
 # 3. the L2 winner + batch amortization
-run MMB_TRUNK_PLAN=banded28,splitband28,split,full MMB_BENCH_BATCH=1536 python -u bench.py
+run MMB_HWBC_VMEM=116 MMB_TRUNK_PLAN=banded28,splitband28,split,full MMB_BENCH_BATCH=1536 python -u bench.py
 # 4. ViT: layout-native pair-packed attention (ops/attention.py,
 #    MMB_FUSED_ATTN=pairs) — no transposes, scores in VMEM
 run MMB_FUSED_ATTN=pairs python -u scripts/perf_vit_flagship.py
