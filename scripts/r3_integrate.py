@@ -22,7 +22,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOGS = [f"/tmp/r3_queue{n}.log" for n in (7, 9, 10, 11)]
+LOGS = [f"/tmp/r3_queue{n}.log" for n in (7, 9, 10, 11, 13, 14)]
 BACKUP_DIR = "/tmp/r3_integrate_backup"
 OUT = "/tmp/r3_winner.json"
 
