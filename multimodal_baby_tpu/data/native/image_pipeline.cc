@@ -46,7 +46,14 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* img) {
+// target_h/target_w > 0 enables DCT-scaled decode: libjpeg runs its
+// inverse DCT at the smallest M/8 scale (M in 1..8) whose output still
+// covers the target in both dims, skipping most of the IDCT + color
+// conversion work (the dominant decode cost). The scaled IDCT is a
+// proper frequency-domain low-pass, so the follow-up bilinear pass
+// keeps its antialiasing semantics; for the common 256 -> 224 frame it
+// lands exactly on 224 (M=7) and the resize pass vanishes entirely.
+bool decode_jpeg(FILE* f, Image* img, int target_h, int target_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -59,6 +66,17 @@ bool decode_jpeg(FILE* f, Image* img) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target_h > 0 && target_w > 0) {
+    int M = 8;
+    while (M > 1) {
+      // libjpeg output dim at scale (M-1)/8 = ceil(dim * (M-1) / 8)
+      long sw = (long(cinfo.image_width) * (M - 1) + 7) / 8;
+      long sh = (long(cinfo.image_height) * (M - 1) + 7) / 8;
+      if (sw >= target_w && sh >= target_h) M--; else break;
+    }
+    cinfo.scale_num = M;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   img->w = cinfo.output_width;
   img->h = cinfo.output_height;
@@ -197,7 +215,13 @@ void resize_bilinear(const Image& src, uint8_t* out, int oh, int ow) {
   }
 }
 
-bool decode_one(const char* path, uint8_t* out, int oh, int ow) {
+// flags bit 0: DCT-scaled JPEG decode (decode at the nearest >=target
+// M/8 scale instead of full size; a few u8 LSB off the full-decode +
+// bilinear result, ~2-4x cheaper on downscales).
+enum { kFastScale = 1 };
+
+bool decode_one(const char* path, uint8_t* out, int oh, int ow,
+                int flags = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -207,7 +231,8 @@ bool decode_one(const char* path, uint8_t* out, int oh, int ow) {
   Image img;
   bool ok = false;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, &img);
+    const bool fast = (flags & kFastScale) != 0;
+    ok = decode_jpeg(f, &img, fast ? oh : 0, fast ? ow : 0);
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
     ok = decode_png(f, &img);
   }
@@ -230,12 +255,17 @@ int decode_image(const char* path, uint8_t* out, int out_h, int out_w) {
   return decode_one(path, out, out_h, out_w) ? 0 : 1;
 }
 
+int decode_image_opts(const char* path, uint8_t* out, int out_h,
+                      int out_w, int flags) {
+  return decode_one(path, out, out_h, out_w, flags) ? 0 : 1;
+}
+
 // Returns the number of failed decodes; failed slots are zero-filled and
 // (when status != nullptr) flagged status[i] = 0 so the caller can route
 // them through a fallback decoder instead of silently training on black
-// frames.
-int decode_batch2(const char** paths, int n, uint8_t* out, int out_h,
-                  int out_w, int n_threads, uint8_t* status) {
+// frames. flags: kFastScale (1) = DCT-scaled JPEG decode.
+int decode_batch3(const char** paths, int n, uint8_t* out, int out_h,
+                  int out_w, int n_threads, uint8_t* status, int flags) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::atomic<int> next(0), failures(0);
@@ -246,7 +276,7 @@ int decode_batch2(const char** paths, int n, uint8_t* out, int out_h,
       int i = next.fetch_add(1);
       if (i >= n) return;
       uint8_t* dst = out + stride * i;
-      bool ok = decode_one(paths[i], dst, out_h, out_w);
+      bool ok = decode_one(paths[i], dst, out_h, out_w, flags);
       if (!ok) {
         memset(dst, 0, stride);
         failures.fetch_add(1);
@@ -261,9 +291,14 @@ int decode_batch2(const char** paths, int n, uint8_t* out, int out_h,
   return failures.load();
 }
 
+int decode_batch2(const char** paths, int n, uint8_t* out, int out_h,
+                  int out_w, int n_threads, uint8_t* status) {
+  return decode_batch3(paths, n, out, out_h, out_w, n_threads, status, 0);
+}
+
 int decode_batch(const char** paths, int n, uint8_t* out, int out_h,
                  int out_w, int n_threads) {
-  return decode_batch2(paths, n, out, out_h, out_w, n_threads, nullptr);
+  return decode_batch3(paths, n, out, out_h, out_w, n_threads, nullptr, 0);
 }
 
 }  // extern "C"

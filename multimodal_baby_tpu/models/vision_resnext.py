@@ -182,7 +182,7 @@ class BottleneckX(nn.Module):
         variable (same name/scope as the int8 fold, so
         models/quant_calib.py calibration lands on it) and returns
         (fw, out_amax) with the _fold_q fallback formula."""
-        from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+        from multimodal_baby_tpu.ops.bottleneck_hwbc import pack_grouped_kernel
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
         cg = width // self.groups

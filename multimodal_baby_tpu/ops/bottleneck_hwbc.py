@@ -43,7 +43,7 @@ are free (leading-dim slice); even *columns* use a pair-reshape
 major dims and therefore stays relayout-free.
 
 BN is inference-mode (frozen trunk) and folded into weights/biases outside
-the kernel (ops/bottleneck.fold_block_params). The trunk is frozen on the
+the kernel (fold_block_params below). The trunk is frozen on the
 hot path (stop_gradient in models/vision.py); the custom VJP backward
 differentiates the XLA reference for completeness.
 
@@ -63,14 +63,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multimodal_baby_tpu.ops.bottleneck import (
-    BS, bottleneck_reference, fold_block_params)
-
 __all__ = [
     "fused_bottleneck_hwbc", "hwbc_reference", "fold_block_params",
-    "to_hwbc", "from_hwbc",
+    "pack_grouped_kernel", "bottleneck_reference", "to_hwbc", "from_hwbc",
+    "BS",
 ]
 
+BS = 128   # MXU lane tile: groups are packed into BS-wide diagonal blocks
 BSUB = 16  # batch lanes in the sublane dimension (bf16 min tile is 16)
 
 
@@ -85,6 +84,107 @@ def VMEM_LIMIT() -> int:
 
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# weight preparation (XLA, negligible cost — weights are tiny).
+# Shared by every trunk kernel variant and by ops/quant's int8 folds.
+# ---------------------------------------------------------------------------
+
+def pack_grouped_kernel(w: jax.Array, groups: int) -> jax.Array:
+    """Grouped conv kernel [3, 3, cg, W] (HWIO, feature_group_count=G) ->
+    block-diagonal compact form [9, nb, BS, BS] where nb = W // BS.
+
+    Tap t = ky*3+kx; block b holds the [BS, BS] diagonal block of the
+    dense-ified [W_in, W_out] matrix for that tap (off-group entries zero).
+    On the MXU a grouped matmul with N=cg lanes runs at cg/128
+    utilization, so packing groups to N=128 is FLOP-optimal for any group
+    width — the extra multiply-by-zero FLOPs are free vs the lane limit.
+    """
+    kh, kw, cg, width = w.shape
+    assert kh == 3 and kw == 3 and width % BS == 0
+    nb = width // BS
+    gpb = BS // cg  # groups per BS-block
+    # per-group [cg_in, cg_out] blocks: w[t, ci, g*cg + co]
+    blocks = w.reshape(9, cg, nb, gpb, cg)          # t, ci, b, g, co
+    blocks = jnp.transpose(blocks, (0, 2, 3, 1, 4))  # t, b, g, ci, co
+    # place on the block diagonal via a broadcast against eye(gpb) —
+    # pure reshape/multiply (an elementwise-gather formulation here costs
+    # ~30 ms/step on TPU when folding runs inside the train jit)
+    eye = jnp.eye(gpb, dtype=w.dtype)
+    dense = blocks[:, :, :, :, None, :] * eye[None, None, :, None, :, None]
+    return dense.reshape(9, nb, BS, BS)
+
+
+def fold_block_params(params: Dict, stats: Dict, compute_dtype,
+                      groups: int = 32) -> Dict[str, jax.Array]:
+    """Fold InferenceBN (scale, bias, mean, var) into conv weights/biases.
+
+    params/stats: the flax BottleneckX subtree (conv1/bn1/.../downsample_*).
+    Returns kernel-ready arrays: w1 [Cin, W], w2 [9, nb, BS, BS], w3
+    [W, Cout], b1/b2 [W], b3 [Cout] (+ wd/bd when a downsample exists).
+    """
+    def fold(bn_p, bn_s):
+        mul = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + 1e-5)
+        return mul, bn_p["bias"] - bn_s["mean"] * mul
+
+    out: Dict[str, jax.Array] = {}
+    mul1, add1 = fold(params["bn1"], stats["bn1"])
+    w1 = params["conv1"]["kernel"][0, 0]                 # [Cin, W]
+    out["w1"] = (w1 * mul1[None, :]).astype(compute_dtype)
+    out["b1"] = add1.astype(jnp.float32)
+
+    mul2, add2 = fold(params["bn2"], stats["bn2"])
+    w2 = params["conv2"]["kernel"] * mul2[None, None, None, :]
+    out["w2"] = pack_grouped_kernel(w2, groups).astype(compute_dtype)
+    out["b2"] = add2.astype(jnp.float32)
+
+    mul3, add3 = fold(params["bn3"], stats["bn3"])
+    w3 = params["conv3"]["kernel"][0, 0]
+    out["w3"] = (w3 * mul3[None, :]).astype(compute_dtype)
+    out["b3"] = add3.astype(jnp.float32)
+
+    if "downsample_conv" in params:
+        muld, addd = fold(params["downsample_bn"], stats["downsample_bn"])
+        wd = params["downsample_conv"]["kernel"][0, 0]
+        out["wd"] = (wd * muld[None, :]).astype(compute_dtype)
+        out["bd"] = addd.astype(jnp.float32)
+    return out
+
+
+def bottleneck_reference(x: jax.Array, fw: Dict[str, jax.Array],
+                         *, stride: int = 1) -> jax.Array:
+    """One bottleneck block in plain XLA ops, [B, H, W, C] layout
+    (block-diag weights unpacked); the numerical oracle for every kernel
+    variant and the (never-hot) backward of the custom VJPs."""
+    B, H, W, cin = x.shape
+    width = fw["w1"].shape[1]
+    nb = fw["w2"].shape[1]
+    h1 = jax.nn.relu(
+        (x.reshape(-1, cin) @ fw["w1"]).astype(jnp.float32) + fw["b1"])
+    h1 = h1.astype(x.dtype).reshape(B, H, W, width)
+    # unpack [9, nb, BS, BS] -> dense HWIO [3, 3, W, W]
+    dense = jnp.zeros((9, width, width), fw["w2"].dtype)
+    for b in range(nb):
+        dense = dense.at[:, b * BS:(b + 1) * BS,
+                         b * BS:(b + 1) * BS].set(fw["w2"][:, b])
+    whwio = dense.reshape(3, 3, width, width)
+    dn = jax.lax.conv_dimension_numbers(
+        h1.shape, whwio.shape, ("NHWC", "HWIO", "NHWC"))
+    h2 = jax.lax.conv_general_dilated(
+        h1, whwio, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=dn)
+    h2 = jax.nn.relu(h2.astype(jnp.float32) + fw["b2"]).astype(x.dtype)
+    Ho, Wo = H // stride, W // stride
+    y = (h2.reshape(-1, width) @ fw["w3"]).astype(jnp.float32) + fw["b3"]
+    if "wd" in fw:
+        x_id = x[:, ::stride, ::stride, :].reshape(-1, cin)
+        identity = (x_id @ fw["wd"]).astype(jnp.float32) + fw["bd"]
+    else:
+        identity = x[:, ::stride, ::stride, :].reshape(
+            -1, cin).astype(jnp.float32)
+    out = jax.nn.relu(y + identity).astype(x.dtype)
+    return out.reshape(B, Ho, Wo, -1)
 
 
 def to_hwbc(x: jax.Array, bsub: int = BSUB) -> jax.Array:

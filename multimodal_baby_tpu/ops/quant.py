@@ -38,7 +38,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from multimodal_baby_tpu.ops.bottleneck import BS, pack_grouped_kernel
+from multimodal_baby_tpu.ops.bottleneck_hwbc import BS, pack_grouped_kernel
 
 K_SIGMA = 4.0  # uncalibrated fallback: amax = max|beta| + K_SIGMA*|gamma|
 

@@ -1,6 +1,6 @@
-"""Round-3 measurement-ladder integrator (queue 12).
+"""Measurement-ladder integrator.
 
-Parses the bench results that queues 7/9/10/11 logged to /tmp, picks the
+Parses the bench results a `scripts/tpu_queue.sh` run logged, picks the
 best `bench.py` configuration, flips the SOURCE DEFAULTS to match (trunk
 plan tuple in models/vision_resnext.py, VMEM cap in ops/bottleneck_hwbc.py,
 stem C_in-pad gate, bench batch), then re-runs a plain `python bench.py`
@@ -9,11 +9,15 @@ edits are rolled back from backups. Edits are left UNCOMMITTED on purpose:
 the session commits them after the full CPU test suite passes (the driver
 sweeps uncommitted work at round end as a fallback).
 
-Run by scripts/r3_tpu_queue12.sh after QUEUE11 DONE; idempotent and safe
-to re-run by hand:  python scripts/r3_integrate.py [--dry-run]
+Idempotent and safe to re-run by hand:
+
+    python scripts/integrate_bench.py [--dry-run] [log ...]
+
+Log paths default to every /tmp/*queue*.log and /tmp/*levers*.log present.
 """
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -22,9 +26,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOGS = [f"/tmp/r3_queue{n}.log" for n in (7, 9, 10, 11, 13, 14)]
+LOGS = sorted(set(glob.glob("/tmp/*queue*.log") +
+                  glob.glob("/tmp/*levers*.log")))
 BACKUP_DIR = "/tmp/r3_integrate_backup"
-OUT = "/tmp/r3_winner.json"
+OUT = "/tmp/bench_winner.json"
 
 # Committed default's best measured number (BENCH_NOTES history table);
 # a candidate must beat the freshest plain-bench control, and the final
@@ -124,7 +129,8 @@ def apply_defaults(env):
 
 def main():
     dry = "--dry-run" in sys.argv
-    cands = parse_candidates(LOGS)
+    argv_logs = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cands = parse_candidates(argv_logs or LOGS)
     if not cands:
         print("no bench results found in queue logs; nothing to do")
         return 0

@@ -15,7 +15,7 @@ import flax.linen as nn
 
 from multimodal_baby_tpu.models.vision_resnext import (
     RESNEXT50_STAGES, BottleneckX, _bn)
-from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+from multimodal_baby_tpu.ops.bottleneck_hwbc import pack_grouped_kernel
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (
     fused_bottleneck_hwbc, to_hwbc)
 

@@ -11,7 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+from multimodal_baby_tpu.ops.bottleneck_hwbc import pack_grouped_kernel
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (
     fused_bottleneck_hwbc, fused_bottleneck_tiles, to_hwbc)
 

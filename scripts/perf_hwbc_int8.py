@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_baby_tpu.models.vision_resnext import RESNEXT50_STAGES
-from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+from multimodal_baby_tpu.ops.bottleneck_hwbc import pack_grouped_kernel
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (
     fused_bottleneck_hwbc, to_hwbc)
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+from multimodal_baby_tpu.ops.bottleneck_hwbc import pack_grouped_kernel
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (
     fused_bottleneck_hwbc, to_hwbc)
 

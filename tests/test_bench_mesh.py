@@ -1,0 +1,31 @@
+"""bench.py --mesh must keep working (VERDICT r3 weak item #6).
+
+Runs the actual `bench.run_mesh` measurement path — flagship config,
+data-parallel mesh, global-batch InfoNCE, weak-scaling efficiency — on 2
+of the 8 virtual CPU devices at toy shapes. This is a does-it-run +
+shape/metric-contract test; the recorded-number artifact lives in
+BENCH_NOTES.md ("mesh bench artifact" section).
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_run_mesh_two_virtual_devices(monkeypatch):
+    monkeypatch.setattr(bench, "BATCH", 4)       # per-chip batch
+    monkeypatch.setattr(bench, "IMG", 32)
+    monkeypatch.setattr(bench, "STEPS_PER_CALL", 1)
+    monkeypatch.setattr(bench, "WARMUP_CALLS", 1)
+    monkeypatch.setattr(bench, "TIMED_CALLS", 1)
+    per_chip, n, eff = bench.run_mesh(2)
+    assert n == 2
+    assert per_chip > 0
+    # on a single physical core the 2 virtual devices are time-sliced,
+    # so efficiency is bounded by ~1/2 plus scheduling noise; the
+    # assertion only guards the metric contract, not the value
+    assert 0 < eff < 10

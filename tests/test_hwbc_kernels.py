@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from multimodal_baby_tpu.ops.bottleneck import pack_grouped_kernel
+from multimodal_baby_tpu.ops.bottleneck_hwbc import pack_grouped_kernel
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (
     from_hwbc, fused_bottleneck_hwbc, fused_stage_banded, fused_stage_hwbc,
     hwbc_reference, stage_reference, to_hwbc)

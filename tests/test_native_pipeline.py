@@ -37,7 +37,7 @@ def test_png_exact(images):
 @pytest.mark.skipif(not native.available(), reason="native unavailable")
 def test_jpeg_matches_pil(images):
     path, pil_pixels = images["jpg"]
-    out = native.decode_image(path, 224)
+    out = native.decode_image(path, 224, fast=False)
     # both decode through libjpeg; tiny differences possible across
     # libjpeg build options
     assert np.abs(out.astype(int) - pil_pixels.astype(int)).mean() < 1.0
@@ -46,10 +46,38 @@ def test_jpeg_matches_pil(images):
 @pytest.mark.skipif(not native.available(), reason="native unavailable")
 def test_resize_close_to_pil_bilinear(images):
     path, big = images["resize"]
-    out = native.decode_image(path, 224)
+    out = native.decode_image(path, 224, fast=False)
     ref = np.asarray(Image.fromarray(big).resize((224, 224),
                                                  Image.BILINEAR))
     assert np.abs(out.astype(int) - ref.astype(int)).mean() < 2.0
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_fast_decode_matches_exact_on_natural_images(tmp_path):
+    """DCT-scaled decode (the hot-path default) vs the exact
+    full-decode+bilinear path on a low-frequency 'natural' frame at the
+    bench's 256 -> 224 operating point (M=7: libjpeg emits 224
+    directly). The scaled IDCT is a frequency-domain low-pass, so on
+    band-limited content the two paths agree to a few u8 LSB."""
+    rng = np.random.RandomState(0)
+    low = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    img = np.asarray(Image.fromarray(low).resize((256, 256),
+                                                 Image.BILINEAR))
+    p = tmp_path / "natural.jpg"
+    Image.fromarray(img).save(p, quality=90)
+    fast = native.decode_image(str(p), 224, fast=True)
+    exact = native.decode_image(str(p), 224, fast=False)
+    assert fast.shape == exact.shape == (224, 224, 3)
+    assert np.abs(fast.astype(int) - exact.astype(int)).mean() < 3.0
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_fast_decode_no_upscale_regression(images):
+    """fast=True must leave images at or below target size untouched
+    (M stays 8 — no DCT scaling kicks in)."""
+    path, arr = images["png"]
+    np.testing.assert_array_equal(native.decode_image(path, 224, fast=True),
+                                  arr)
 
 
 @pytest.mark.skipif(not native.available(), reason="native unavailable")

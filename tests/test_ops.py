@@ -108,15 +108,17 @@ def test_conv_epilogue_matches_xla():
 
 
 # ---------------------------------------------------------------------------
-# fused bottleneck block (ops/bottleneck.py)
+# BN-folded bottleneck oracle (ops/bottleneck_hwbc.bottleneck_reference):
+# the [B, H, W, C]-layout XLA reference every trunk-kernel variant is
+# verified against must itself equal the flax BottleneckX module.
 # ---------------------------------------------------------------------------
 
 def _bottleneck_case(planes, H, cin, stride, has_ds, B=2, seed=0):
     import jax
     import jax.numpy as jnp
     from multimodal_baby_tpu.models.vision_resnext import BottleneckX
-    from multimodal_baby_tpu.ops.bottleneck import (
-        bottleneck_reference, fold_block_params, fused_bottleneck_forward)
+    from multimodal_baby_tpu.ops.bottleneck_hwbc import (
+        bottleneck_reference, fold_block_params)
 
     m = BottleneckX(planes=planes, stride=stride, has_downsample=has_ds,
                     dtype=None)
@@ -127,44 +129,21 @@ def _bottleneck_case(planes, H, cin, stride, has_ds, B=2, seed=0):
     fw = fold_block_params(v["params"], v["batch_stats"], jnp.float32)
     scale = float(jnp.abs(ref).max())
     got_xla = bottleneck_reference(x, fw, stride=stride)
-    got_pl = fused_bottleneck_forward(x, fw, stride=stride)
     assert float(jnp.abs(got_xla - ref).max()) / scale < 1e-5
-    assert float(jnp.abs(got_pl - ref).max()) / scale < 1e-5
 
 
-def test_fused_bottleneck_plain_matches_flax_block():
-    """BN-folded fused block == BottleneckX (grouped conv oracle),
+def test_bottleneck_reference_matches_flax_block():
+    """BN-folded reference == BottleneckX (grouped conv oracle),
     covering every packing regime: cg=4 (full-dense), cg=8, cg=32."""
     _bottleneck_case(64, 8, 256, 1, False)    # layer1 plain, nb=1
     _bottleneck_case(128, 8, 512, 1, False)   # layer2 plain, nb=2
     _bottleneck_case(512, 8, 2048, 1, False)  # layer4 plain, nb=8
 
 
-def test_fused_bottleneck_downsample_and_stride():
+def test_bottleneck_reference_downsample_and_stride():
     _bottleneck_case(64, 8, 64, 1, True)      # layer1 block0 (stride 1 ds)
     _bottleneck_case(128, 8, 256, 2, True)    # layer2 block0 (stride 2)
     _bottleneck_case(512, 8, 1024, 2, True)   # layer4 block0
-
-
-def test_fused_bottleneck_backward_falls_back():
-    """The custom VJP differentiates the XLA reference (never hot: the
-    trunk is frozen) and matches autodiff of the reference directly."""
-    import jax
-    import jax.numpy as jnp
-    from multimodal_baby_tpu.models.vision_resnext import BottleneckX
-    from multimodal_baby_tpu.ops.bottleneck import (
-        bottleneck_reference, fold_block_params, fused_bottleneck)
-
-    m = BottleneckX(planes=64, stride=1, has_downsample=False, dtype=None)
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(2, 8, 8, 256).astype(np.float32))
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    fw = fold_block_params(v["params"], v["batch_stats"], jnp.float32)
-
-    g1 = jax.grad(lambda x_: fused_bottleneck(x_, fw, 1).sum())(x)
-    g2 = jax.grad(lambda x_: bottleneck_reference(x_, fw, stride=1).sum())(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               atol=1e-4, rtol=1e-4)
 
 
 def test_fused_infonce_metrics_match_reference():

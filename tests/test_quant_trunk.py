@@ -17,7 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 
-from multimodal_baby_tpu.ops.bottleneck import fold_block_params  # noqa: E402
+from multimodal_baby_tpu.ops.bottleneck_hwbc import fold_block_params  # noqa: E402
 from multimodal_baby_tpu.ops.bottleneck_hwbc import (  # noqa: E402
     from_hwbc, fused_bottleneck_hwbc, fused_stage_hwbc, hwbc_reference,
     stage_reference, to_hwbc)
@@ -125,7 +125,7 @@ def test_quantized_block_close_to_f32():
 
     x_f = jnp.asarray(np.abs(rng.randn(B, H, W, cin)) * 0.5, jnp.float32)
 
-    from multimodal_baby_tpu.ops.bottleneck import bottleneck_reference
+    from multimodal_baby_tpu.ops.bottleneck_hwbc import bottleneck_reference
     fw_f = fold_block_params(params, stats, jnp.float32, groups=GROUPS)
     y_f = bottleneck_reference(x_f, fw_f, stride=1)
 
