@@ -194,6 +194,9 @@ class CVCLModel:
                 text_encoder=text_arch,
                 captioning=bool(hparams.get("captioning", False)),
                 attention=bool(hparams.get("attention", False)),
+                attention_activation=hparams.get(
+                    "attention_activation", "relu"),
+                attention_gate=bool(hparams.get("attention_gate", False)),
                 crange=int(hparams.get("crange", 1)),
                 pos_embed_type=hparams.get(
                     "pos_embed_type", "no_pos_embed")))

@@ -118,6 +118,12 @@ def add_all_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--clip_eval", action="store_true")
     g.add_argument("--multiple_frames", action="store_true")
     g.add_argument("--shuffle_utterances", action="store_true")
+    # raw-input staging for prepare_data (ETL; reference
+    # multimodal_saycam_data_module.py:159-176)
+    g.add_argument("--transcript_dir", type=str, default=None)
+    g.add_argument("--video_dir", type=str, default=None)
+    g.add_argument("--labeled_s_dir", type=str, default=None)
+    g.add_argument("--transcript_links_csv", type=str, default=None)
 
     # --- TPU-native scaling (new capability) ---
     g = parser.add_argument_group("parallel")
@@ -176,7 +182,11 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
             eval_metadata_filename=args.eval_metadata_filename,
             clip_eval=args.clip_eval,
             multiple_frames=args.multiple_frames,
-            shuffle_utterances=args.shuffle_utterances),
+            shuffle_utterances=args.shuffle_utterances,
+            transcript_dir=args.transcript_dir,
+            video_dir=args.video_dir,
+            labeled_s_dir=args.labeled_s_dir,
+            transcript_links_csv=args.transcript_links_csv),
         train=TrainConfig(
             optimizer=args.optimizer,
             lr=args.lr,

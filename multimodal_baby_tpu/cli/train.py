@@ -20,12 +20,22 @@ def main(argv=None):
     parser.add_argument("--fast_dev_run", action="store_true",
                         help="one tiny epoch as a smoke test "
                              "(reference: run.sh:13)")
+    parser.add_argument("--prepare_data_only", action="store_true",
+                        help="run the offline ETL (idempotent, resumable)"
+                             " and exit without training")
     args = parser.parse_args(argv)
     cfg = args_to_config(args)
 
     if args.fast_dev_run:
         cfg.train.max_epochs = 1
         cfg.data.synthetic_size = max(2 * cfg.data.batch_size, 8)
+
+    if args.dataset in ("saycam", "coco"):
+        from multimodal_baby_tpu.data.modules import DataModule
+        DataModule(cfg.data, seed=cfg.train.seed).prepare_data()
+    if args.prepare_data_only:
+        print(f"prepare_data complete under {cfg.data.data_dir}")
+        return None
 
     from multimodal_baby_tpu.train.trainer import Trainer
     trainer = Trainer(cfg)

@@ -162,6 +162,13 @@ class DataConfig:
     # saycam-specific
     multiple_frames: bool = False  # sample a random frame per utterance
     shuffle_utterances: bool = False  # ablation: break image-text pairing
+    # raw-input staging for prepare_data (the L1 ETL; reference:
+    # multimodal_saycam_data_module.py:159-176). All optional — steps
+    # whose inputs are absent are skipped (idempotent, resumable).
+    transcript_dir: Optional[str] = None
+    video_dir: Optional[str] = None
+    labeled_s_dir: Optional[str] = None
+    transcript_links_csv: Optional[str] = None
     # synthetic dataset (for benchmarks / tests)
     synthetic_size: int = 1024
 

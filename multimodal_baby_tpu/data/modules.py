@@ -35,6 +35,27 @@ class DataModule:
         self.eval_datasets: Dict[str, object] = {}
         self._vocab_size_hint = vocab_size_hint
 
+    def prepare_data(self) -> "DataModule":
+        """Run the offline ETL when raw inputs are configured (the L1
+        interface, reference multimodal_saycam_data_module.py:159-176).
+        Idempotent skip-if-exists: a fully prepared data_dir is a no-op,
+        so callers can invoke it unconditionally before setup()."""
+        if self.cfg.dataset == "saycam":
+            from multimodal_baby_tpu.data.etl import prepare_data
+            prepare_data(
+                self.data_dir,
+                transcript_dir=self.cfg.transcript_dir,
+                video_dir=self.cfg.video_dir,
+                labeled_s_dir=self.cfg.labeled_s_dir,
+                transcript_links_csv=self.cfg.transcript_links_csv,
+                seed=self.seed)
+        elif self.cfg.dataset == "coco":
+            karpathy = self.data_dir / "dataset_coco.json"
+            if karpathy.exists():
+                from multimodal_baby_tpu.data.coco import prepare_coco
+                prepare_coco(self.data_dir, karpathy)
+        return self
+
     def setup(self) -> "DataModule":
         c = self.cfg
         if c.dataset == "synthetic":

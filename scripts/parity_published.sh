@@ -1,0 +1,52 @@
+#!/bin/bash
+# Published-weights parity bundle: the one-command BASELINE.md gate
+# (Labeled-S zero-shot within 0.5% absolute of the published CVCL
+# numbers) for the moment network + the prepared SAYCam eval data are
+# reachable. Offline pieces of this flow are covered by
+# tests/test_parity_matrix.py (conversion + scoring vs live reference
+# modules on random weights) and tests/test_cli.py; this script is the
+# trained-weights end of it.
+#
+#   bash scripts/parity_published.sh [data_dir] [reference_summary_csv]
+#
+# data_dir must contain the reference-format prepared eval data
+# (eval_filtered_test.json + frames + vocab.json — the ETL in
+# multimodal_baby_tpu.data.etl produces it byte-compatibly from raw
+# SAYCam inputs). The default reference CSV is the transformer summary
+# shipped in the reference snapshot (55.5% over seeds 0-2); pass the
+# embedding-flagship summary CSV instead when available (the published
+# ~61.6% config matches the checkpoint this script downloads).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DATA_DIR=${1:-data}
+REF_CSV=${2:-/root/reference/results/summary/saycam-transformer-summary.csv}
+export PYTHONPATH=$PWD:${PYTHONPATH:-}
+
+if [ ! -f "$DATA_DIR/eval_filtered_test.json" ]; then
+  echo "ERROR: $DATA_DIR/eval_filtered_test.json not found." >&2
+  echo "Run the ETL first: python -m multimodal_baby_tpu.cli.train" \
+       "--dataset saycam --prepare_data_only (or point data_dir at a" \
+       "reference-prepared directory)." >&2
+  exit 2
+fi
+if ! python - <<'EOF'
+import socket, sys
+try:
+    socket.create_connection(("huggingface.co", 443), timeout=10).close()
+except OSError:
+    sys.exit(1)
+EOF
+then
+  echo "ERROR: huggingface.co unreachable; the published checkpoint" \
+       "cannot be downloaded from here." >&2
+  exit 3
+fi
+
+ARGS=(--published --data_dir "$DATA_DIR" --eval_include_sos_eos
+      --output results/parity_published_predictions.json)
+if [ -f "$REF_CSV" ]; then
+  ARGS+=(--reference_summary "$REF_CSV")
+else
+  echo "note: $REF_CSV not found; running without the diff step" >&2
+fi
+python -m multimodal_baby_tpu.cli.parity "${ARGS[@]}"
