@@ -15,13 +15,20 @@ NOUN).  Child-directed SAYCam utterances and COCO captions are short,
 determiner-rich declaratives ("look at the ball", "a dog on the grass"),
 where this grammar recovers the same propositions a full parse would:
 
-  objects:    every content noun (plural-stripped)
-  attributes: ADJ immediately modifying a noun, and copular "N is ADJ"
-  relations:  N (VERB|PREP) N within a clause, copulas excluded
+  objects:    the head noun of each noun phrase (compound modifiers
+              become attributes: "tennis court" -> (court,) + (court,
+              tennis))
+  attributes: ADJ modifying a noun (pre-nominal or copular) and
+              object-less verbs ((girl, stand) for "a girl standing")
+  relations:  (subject, verb, object) for adjacent direct objects,
+              (left-head, preposition, right-head) for prepositions
 
-Tuple matching is lemma-exact, extended with WordNet synonym sets when
-the nltk wordnet data is installed locally (the Java SPICE does the same
-synset matching).
+Fidelity is measured, not asserted: a 55-caption fixture with
+hand-derived expected tuples (tests/test_spice_fixture.py) passes
+exactly, and the divergence envelope vs the Java pipeline is documented
+there and in TEXTGEN_FIDELITY.md. Tuple matching is lemma-exact,
+extended with WordNet synonym sets when the nltk wordnet data is
+installed locally (the Java SPICE does the same synset matching).
 """
 
 from __future__ import annotations
@@ -29,8 +36,8 @@ from __future__ import annotations
 from typing import FrozenSet, List, Sequence, Set, Tuple
 
 DETERMINERS = frozenset(
-    "a an the this that these those some any no every each all both few "
-    "many most much more other another such my your his her its our their "
+    "a an the this that these those some any no every each all both "
+    "most much more other another such my your his her its our their "
     "what which whose".split())
 PRONOUNS = frozenset(
     "i you he she it we they me him us them himself herself itself "
@@ -63,9 +70,13 @@ COMMON_VERBS = frozenset(
     "drinks drank jump jumps jumped walk walks walked fly flies flew "
     "swim swims swam catch catches caught kick kicks kicked touch touches "
     "touched open opens opened close closes closed turn turns turned "
-    "point points pointed show shows showed watch watches watched".split())
+    "point points pointed show shows showed watch watches watched "
+    "fall falls fell falling do does did doing done see sees seen "
+    "bring brings brought buy buys bought feed feeds fed build "
+    "builds built sleep sleeps slept keep keeps kept leave "
+    "left tell tells told drive drives drove draw draws drew".split())
 COMMON_ADJECTIVES = frozenset(
-    "big little small large tiny huge red blue green yellow orange purple "
+    "many few big little small large tiny huge red blue green yellow orange purple "
     "pink brown black white gray grey good bad nice pretty cute funny "
     "happy sad old new young hot cold warm wet dry soft hard clean dirty "
     "fast slow tall short long round empty full heavy light loud quiet "
@@ -81,18 +92,64 @@ except Exception:  # pragma: no cover - image has no wordnet data
     _HAVE_WORDNET = False
 
 
-def _lemma(word: str) -> str:
-    """Light noun/verb lemmatizer (WordNet morphy when available)."""
+# irregular lemmas the suffix rules can't reach (morphy handles these
+# when wordnet data exists; this map keeps the no-data path consistent)
+_IRREGULAR_LEMMA = {
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "teeth": "tooth", "mice": "mouse", "geese": "goose",
+    "went": "go", "gone": "go", "going": "go", "goes": "go",
+    "did": "do", "does": "do", "doing": "do", "done": "do",
+    "has": "have", "had": "have", "having": "have",
+    "was": "be", "were": "be", "been": "be", "being": "be",
+    "fell": "fall", "ran": "run", "sat": "sit", "ate": "eat",
+    "saw": "see", "seen": "see", "got": "get", "took": "take",
+    "gave": "give", "made": "make", "found": "find", "threw": "throw",
+    "held": "hold", "drank": "drink", "flew": "fly", "swam": "swim",
+    "wore": "wear", "rode": "ride", "drew": "draw", "drove": "drive",
+    "stood": "stand", "came": "come", "knew": "know", "said": "say",
+    "thought": "think", "caught": "catch", "brought": "bring",
+    "bought": "buy", "fed": "feed", "built": "build", "slept": "sleep",
+    "kept": "keep", "left": "leave", "told": "tell",
+}
+
+_VOWELS = set("aeiou")
+
+
+def _undouble_or_e(stem: str) -> str:
+    """After stripping -ing/-ed: undo consonant doubling (running -> run)
+    or restore a dropped final e on a CVC stem (riding -> ride)."""
+    if len(stem) >= 3 and stem[-1] == stem[-2] \
+            and stem[-1] not in _VOWELS and stem[-1] not in "lsz":
+        return stem[:-1]
+    if 3 <= len(stem) <= 4 and stem[-1] not in _VOWELS \
+            and stem[-1] not in "wxy" and stem[-2] in _VOWELS \
+            and stem[-3] not in _VOWELS:
+        # short CVC stems dropped an e (rid->ride, chas->chase); longer
+        # stems did not (travel, visit)
+        return stem + "e"
+    return stem
+
+
+def _lemma(word: str, pos: str = "v") -> str:
+    """Light lemmatizer (WordNet morphy when available). pos "n" keeps
+    -ing/-ed nouns intact (building, painting); pos "v" strips them."""
+    if word in _IRREGULAR_LEMMA:
+        return _IRREGULAR_LEMMA[word]
     if _HAVE_WORDNET:
-        m = _wn.morphy(word)
+        m = _wn.morphy(word, "n" if pos == "n" else "v") \
+            or _wn.morphy(word)
         if m:
             return m
     for suf, rep in (("sses", "ss"), ("ies", "y"), ("shes", "sh"),
-                     ("ches", "ch"), ("xes", "x"), ("zes", "z"),
-                     ("ing", ""), ("ed", "")):
-        if word.endswith(suf) and len(word) > len(suf) + 2:
+                     ("ches", "ch"), ("xes", "x"), ("zes", "z")):
+        if word.endswith(suf) and len(word) > len(suf) + 1:
             return word[:-len(suf)] + rep
-    if word.endswith("s") and not word.endswith("ss") and len(word) > 3:
+    if pos != "n":
+        for suf in ("ing", "ed"):
+            if word.endswith(suf) and len(word) > len(suf) + 2:
+                return _undouble_or_e(word[:-len(suf)])
+    if word.endswith("s") and len(word) > 3 \
+            and not word.endswith(("ss", "us", "is")):
         return word[:-1]
     return word
 
@@ -123,11 +180,24 @@ def _tag(tokens: Sequence[str]) -> List[str]:
             t = "ADJ"
         elif w.endswith("ly") and len(w) > 4:
             t = "ADV"
-        elif w.endswith("ing") and len(w) > 5:
-            t = "VERB"
+        elif w.endswith("ing") and len(w) > 4:
+            # gerund/participle — except in NP position ("a tall
+            # building", "the painting"), where -ing words are nouns
+            t = "NOUN" if tags and tags[-1] in ("DET", "ADJ") else "VERB"
+        elif w.endswith("ed") and len(w) > 4:
+            t = "VERB"  # participle ("a bus parked on the street")
         else:
             t = "NOUN"
         tags.append(t)
+    # have/has/had head a direct object as MAIN verbs ("mommy has a
+    # cup") but stay AUX before a participle ("has eaten")
+    for i, w in enumerate(tokens):
+        if w in ("have", "has", "had") and tags[i] == "AUX":
+            j = i + 1
+            while j < len(tokens) and tags[j] in ("DET", "ADJ", "ADV"):
+                j += 1
+            if j < len(tokens) and tags[j] == "NOUN":
+                tags[i] = "VERB"
     return tags
 
 
@@ -135,17 +205,42 @@ Tuple_ = Tuple[str, ...]
 
 
 def parse_tuples(sentence: str) -> Set[Tuple_]:
-    """Extract scene-graph tuples from a space-tokenized caption."""
+    """Extract scene-graph tuples from a space-tokenized caption.
+
+    Grammar (the SPICE paper's proposition inventory, Anderson et al.
+    2016 figure 1, on shallow-parseable declaratives):
+      objects:    head noun of each noun phrase ("tennis court" -> court)
+      attributes: adjectives modifying a noun (pre-nominal or copular),
+                  noun-compound modifiers ((court, tennis)), and
+                  object-less verbs ((girl, stand) for "a girl standing")
+      relations:  (subject-head, verb, object-head) for adjacent direct
+                  objects, (left-head, preposition, right-head) for
+                  prepositions
+    """
     tokens = [t for t in sentence.lower().split() if t.isalnum() or "'" in t]
     tags = _tag(tokens)
     tuples: Set[Tuple_] = set()
 
-    nouns = [(i, _lemma(w)) for i, (w, t) in enumerate(zip(tokens, tags))
-             if t == "NOUN"]
-    for _, n in nouns:
-        tuples.add((n,))
+    # contiguous noun runs: the last noun is the NP head, earlier nouns
+    # are compound modifiers ("tennis court" -> object (court,) +
+    # attribute (court, tennis))
+    heads = []  # (index, lemma) of run heads, in order
+    i = 0
+    while i < len(tokens):
+        if tags[i] != "NOUN":
+            i += 1
+            continue
+        j = i
+        while j + 1 < len(tokens) and tags[j + 1] == "NOUN":
+            j += 1
+        head = _lemma(tokens[j], "n")
+        heads.append((j, head))
+        tuples.add((head,))
+        for k in range(i, j):
+            tuples.add((head, _lemma(tokens[k], "n")))
+        i = j + 1
 
-    # attributes: ADJ (ADJ)* NOUN, and "NOUN COP (ADV)* ADJ"
+    # attributes: ADJ (ADJ)* NOUN-run, and "NOUN COP (ADV)* ADJ"
     for i, (w, t) in enumerate(zip(tokens, tags)):
         if t != "ADJ":
             continue
@@ -153,7 +248,9 @@ def parse_tuples(sentence: str) -> Set[Tuple_]:
         while j < len(tokens) and tags[j] == "ADJ":
             j += 1
         if j < len(tokens) and tags[j] == "NOUN":
-            tuples.add((_lemma(tokens[j]), w))
+            while j + 1 < len(tokens) and tags[j + 1] == "NOUN":
+                j += 1  # attach to the NP head
+            tuples.add((_lemma(tokens[j], "n"), w))
         k = i - 1
         while k >= 0 and tags[k] in ("ADV", "COP"):
             if tags[k] == "COP":
@@ -161,22 +258,46 @@ def parse_tuples(sentence: str) -> Set[Tuple_]:
                 while k >= 0 and tags[k] == "DET":
                     k -= 1
                 if k >= 0 and tags[k] == "NOUN":
-                    tuples.add((_lemma(tokens[k]), w))
+                    tuples.add((_lemma(tokens[k], "n"), w))
                 break
             k -= 1
 
-    # relations: nearest noun left / right of a VERB or PREP pivot
+    def _left_head(i):
+        return next((n for j, n in reversed(heads) if j < i), None)
+
+    def _right_head(i):
+        return next((n for j, n in heads if j > i), None)
+
+    # relations: VERB/PREP pivots between NP heads. A verb takes a direct
+    # object only when the next NP follows with no intervening pivot
+    # ("a dog running in the grass" is (dog, run) + (dog, in, grass),
+    # not (dog, run, grass)).
     for i, t in enumerate(tags):
         if t not in ("VERB", "PREP"):
             continue
-        left = next((n for j, n in reversed(nouns) if j < i), None)
-        right = next((n for j, n in nouns if j > i), None)
+        left, right = _left_head(i), _right_head(i)
         pred = _lemma(tokens[i]) if t == "VERB" else tokens[i]
-        if left and right:
-            tuples.add((left, pred, right))
-        elif t == "VERB" and right:
-            # imperative: "throw the ball" -> (you, throw, ball)
-            tuples.add(("you", pred, right))
+        if t == "VERB":
+            j = i + 1
+            adjacent = None
+            while j < len(tokens):
+                if tags[j] == "NOUN":
+                    adjacent = _right_head(j - 1)
+                    break
+                if tags[j] not in ("DET", "ADJ", "ADV"):
+                    break
+                j += 1
+            if left and adjacent:
+                tuples.add((left, pred, adjacent))
+            elif left and not adjacent:
+                # object-less verb -> attribute (paper: (girl, standing))
+                tuples.add((left, pred))
+            elif adjacent:
+                # imperative: "throw the ball" -> (you, throw, ball)
+                tuples.add(("you", pred, adjacent))
+        else:
+            if left and right:
+                tuples.add((left, pred, right))
     return tuples
 
 
