@@ -95,5 +95,10 @@ class DataLoader:
                 yield batch
         finally:
             # don't block on prefetched work when the consumer abandons
-            # the iterator mid-epoch
-            ex.shutdown(wait=False, cancel_futures=True)
+            # the iterator mid-epoch; swallow teardown-time errors (at
+            # interpreter exit the queue module may already be torn down
+            # when an abandoned generator is finalized)
+            try:
+                ex.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
