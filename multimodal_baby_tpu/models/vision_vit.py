@@ -121,10 +121,13 @@ class ViTAttention(nn.Module):
             should_fuse_attention_pairs)
         # layout-native pair-packed kernel: consumes the qkv projection's
         # own [B, N, C] lane layout (no transposes, no lane padding) and
-        # keeps the [N, N] scores in VMEM — see ops/attention.py
+        # keeps the [N, N] scores in VMEM — see ops/attention.py. ON by
+        # default on TPU: measured 1,957 vs 1,586 pairs/s end-to-end at
+        # ViT-B/14 B=256 under the default token-axis padseq (BENCH_NOTES
+        # round-4). MMB_FUSED_ATTN=0 restores the XLA softmax path.
         if not return_attention \
                 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "0") in ("2", "pairs") \
+                and os.environ.get("MMB_FUSED_ATTN", "pairs") in ("2", "pairs") \
                 and should_fuse_attention_pairs(N, H, head_dim):
             y = fused_attention_pairs(
                 qkv[:, :, :C], qkv[:, :, C:2 * C], qkv[:, :, 2 * C:],
@@ -134,14 +137,14 @@ class ViTAttention(nn.Module):
 
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
-        # default OFF for the ViT: the kernel wins in isolation (-30% on
-        # the attention op) but its operand layout constraints force
-        # reshape/transpose copies through every block in the full step
-        # (measured 1461 vs 1559 pairs/s end-to-end at B=256) — see
-        # BENCH_NOTES.md. MMB_FUSED_ATTN=1 re-enables.
+        # the heads-first kernel variant stays opt-in: it wins in
+        # isolation (-30% on the attention op) but its operand layout
+        # constraints force reshape/transpose copies through every block
+        # in the full step (measured 1461 vs 1559 pairs/s end-to-end at
+        # B=256) — see BENCH_NOTES.md. MMB_FUSED_ATTN=1 enables.
         if not return_attention \
                 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "0") == "1" \
+                and os.environ.get("MMB_FUSED_ATTN", "pairs") == "1" \
                 and should_fuse_attention(N, head_dim):
             # Pallas kernel: scores never leave VMEM (ops/attention.py);
             # kv_valid masks pad key columns under MMB_VIT_PADSEQ
@@ -297,9 +300,10 @@ class VisionTransformerDino(nn.Module):
             # 12 x 5.4 ms LN fusions, 17.5 GB "data formatting" at
             # B=256). Pad the token axis to the tile multiple and mask
             # the pad keys in attention (-1e9 bias -> exp underflows to
-            # exactly 0), which keeps real-token outputs bitwise-exact
-            # while every op runs on aligned tiles. MMB_VIT_PADSEQ
-            # overrides: 0 = off, N = explicit target length.
+            # exactly 0). Real-token outputs are exact in f32 (gated at
+            # 1e-5, tests/test_vision.py); in bf16 the padded reduction
+            # tree rounds differently (deltas at bf16 eps, ~1e-2 on O(1)
+            # features). MMB_VIT_PADSEQ: 0 = off, N = explicit length.
             tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n_valid), (0, 0)))
             kv_valid = n_valid
         else:
@@ -311,11 +315,12 @@ class VisionTransformerDino(nn.Module):
         return self.norm(tokens[:, :1])[:, 0].astype(jnp.float32)
 
     def _padded_len(self, n: int) -> int:
-        """Token-axis pad target: MMB_VIT_PADSEQ=0 (off, default until the
-        bench A/B lands), N (explicit), or 'auto' (round up to the bf16
-        sublane tile of 16)."""
+        """Token-axis pad target: MMB_VIT_PADSEQ='auto' (default: round up
+        to the bf16 sublane tile of 16 — measured +23% end-to-end with the
+        pair-packed attention kernel at ViT-B/14 B=256, BENCH_NOTES
+        round-4), 0 (off), or N (explicit target length)."""
         import os
-        spec = os.environ.get("MMB_VIT_PADSEQ", "0")
+        spec = os.environ.get("MMB_VIT_PADSEQ", "auto")
         if spec == "auto":
             return ((n + 15) // 16) * 16
         target = int(spec)

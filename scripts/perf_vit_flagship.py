@@ -2,10 +2,10 @@
 transformer text encoder, learned pos-embed — the published 55.5% config,
 configs/saycam_contrastive_transformer.py) measured the same way as
 bench.py: full train step from raw uint8 frames at B=256 bf16, 10 steps
-per jit, value-fetch timing. Attention runs the XLA softmax path by
-default (measured faster end-to-end than the fused Pallas kernel, whose
-operand layouts force per-block reshape/transpose copies — BENCH_NOTES);
-set MMB_FUSED_ATTN=1 to A/B the Pallas kernel."""
+per jit, value-fetch timing. Defaults (round 4): token-axis padseq +
+the layout-native pair-packed attention kernel (measured 1,957 vs 1,586
+pairs/s end-to-end — BENCH_NOTES round-4). MMB_FUSED_ATTN=0 restores
+the XLA softmax path, MMB_VIT_PADSEQ=0 the unpadded 257-token stream."""
 import json
 import time
 
