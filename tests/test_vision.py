@@ -190,3 +190,23 @@ def test_vit_padseq_with_lnfold_exact(monkeypatch):
     monkeypatch.setenv("MMB_VIT_PADSEQ", "auto")
     got = np.asarray(model.apply(params, x))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_vit_round4_defaults(monkeypatch):
+    """Round-4 flipped defaults: token-axis padseq is ON when
+    MMB_VIT_PADSEQ is unset (257 -> 272), and the pair-packed attention
+    default (MMB_FUSED_ATTN unset == 'pairs') is TPU-gated — on CPU the
+    default path must equal the explicit XLA-softmax path exactly."""
+    import numpy as np
+    monkeypatch.delenv("MMB_VIT_PADSEQ", raising=False)
+    monkeypatch.delenv("MMB_FUSED_ATTN", raising=False)
+    model = VisionTransformerDino(patch_size=14, embed_dim=64, depth=2,
+                                  num_heads=4, base_img_size=56)
+    assert model._padded_len(257) == 272 and model._padded_len(17) == 32
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 56, 56, 3),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    got_default = np.asarray(model.apply(params, x))
+    monkeypatch.setenv("MMB_FUSED_ATTN", "0")
+    got_xla = np.asarray(model.apply(params, x))
+    np.testing.assert_array_equal(got_default, got_xla)
