@@ -10,6 +10,7 @@ import collections
 import glob
 import gzip
 import json
+import os
 import sys
 
 import numpy as np
@@ -28,7 +29,10 @@ def capture(trace_dir: str) -> None:
         contrastive_loss_from_logits)
     from multimodal_baby_tpu.train import build_optimizer
 
-    B, VOCAB = 256, 2350
+    # B=256 keeps traces comparable with the round-2/3 accounting;
+    # MMB_PROFILE_BATCH=1024 traces the committed bench operating point.
+    B = int(os.environ.get("MMB_PROFILE_BATCH", "256"))
+    VOCAB = 2350
     cfg = ExperimentConfig(
         model=ModelConfig(embedding_dim=512, vocab_size=VOCAB,
                           embedding_type="flat", normalize_features=True,
