@@ -23,10 +23,12 @@ where this grammar recovers the same propositions a full parse would:
   relations:  (subject, verb, object) for adjacent direct objects,
               (left-head, preposition, right-head) for prepositions
 
-Fidelity is measured, not asserted: a 55-caption fixture with
+Fidelity is measured, not asserted: a 61-caption fixture with
 hand-derived expected tuples (tests/test_spice_fixture.py) passes
 exactly, and the divergence envelope vs the Java pipeline is documented
-there and in TEXTGEN_FIDELITY.md. Tuple matching is lemma-exact,
+there and in TEXTGEN_FIDELITY.md. Complex prepositions are collapsed to
+one relation token exactly as Stanford's collapsed-dependencies stage
+does ("on top of" -> on_top_of; MULTIWORD_PREPOSITIONS). Tuple matching is lemma-exact,
 extended with WordNet synonym sets when the nltk wordnet data is
 installed locally (the Java SPICE does the same synset matching).
 """
@@ -75,6 +77,22 @@ COMMON_VERBS = frozenset(
     "bring brings brought buy buys bought feed feeds fed build "
     "builds built sleep sleeps slept keep keeps kept leave "
     "left tell tells told drive drives drove draw draws drew".split())
+# Complex prepositions collapsed to one relation token, as the Stanford
+# collapsed-dependencies stage inside the Java SPICE does ("on top of"
+# -> on_top_of). Longest match wins; names are the "_"-joined surface
+# forms Stanford emits.
+MULTIWORD_PREPOSITIONS = tuple(sorted((
+    tuple(p.split()) for p in (
+        "in the middle of", "on the side of", "at the top of",
+        "at the bottom of", "on the back of", "at the back of",
+        "on the edge of", "at the edge of",
+        "on top of", "in front of", "in back of", "out from under",
+        "next to", "close to", "near to", "out of", "inside of",
+        "outside of", "away from", "far from", "along with",
+        "together with", "instead of", "because of", "ahead of",
+        "across from", "up against")),
+    key=len, reverse=True))
+
 COMMON_ADJECTIVES = frozenset(
     "many few big little small large tiny huge red blue green yellow orange purple "
     "pink brown black white gray grey good bad nice pretty cute funny "
@@ -162,8 +180,8 @@ def _tag(tokens: Sequence[str]) -> List[str]:
             t = "DET"
         elif w in PRONOUNS:
             t = "PRON"
-        elif w in PREPOSITIONS:
-            t = "PREP"
+        elif w in PREPOSITIONS or "_" in w:
+            t = "PREP"  # "_" marks a merged multiword preposition
         elif w in CONJUNCTIONS:
             t = "CONJ"
         elif w in COPULAS:
@@ -201,6 +219,25 @@ def _tag(tokens: Sequence[str]) -> List[str]:
     return tags
 
 
+def _merge_multiword_prepositions(tokens: List[str]) -> List[str]:
+    """Collapse complex prepositions into one "_"-joined token (longest
+    match first), mirroring Stanford's collapsed dependencies: "the cat
+    on top of the shelf" parses to (cat, on_top_of, shelf)."""
+    out: List[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        for mwe in MULTIWORD_PREPOSITIONS:
+            if tuple(tokens[i:i + len(mwe)]) == mwe:
+                out.append("_".join(mwe))
+                i += len(mwe)
+                break
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 Tuple_ = Tuple[str, ...]
 
 
@@ -218,6 +255,7 @@ def parse_tuples(sentence: str) -> Set[Tuple_]:
                   prepositions
     """
     tokens = [t for t in sentence.lower().split() if t.isalnum() or "'" in t]
+    tokens = _merge_multiword_prepositions(tokens)
     tags = _tag(tokens)
     tuples: Set[Tuple_] = set()
 

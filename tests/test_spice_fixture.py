@@ -11,19 +11,17 @@ preposition relations), written down before running the parser.
 
 Known, documented divergences from the Java pipeline (kept out of the
 fixture, listed in KNOWN_DIVERGENCES below so the envelope is explicit):
-multiword prepositions are not collapsed ("on top of" yields two
-relations, the Stanford pipeline yields on_top_of), and lemmas use
-WordNet morphy / suffix rules rather than the Stanford lemmatizer.
-Because OUR spice() parses candidate and reference with the same
-grammar, systematic parse differences largely cancel in the F1.
+lemmas use WordNet morphy / suffix rules rather than the Stanford
+lemmatizer. Because OUR spice() parses candidate and reference with the
+same grammar, systematic parse differences largely cancel in the F1.
+Multiword prepositions ARE collapsed Stanford-style since round 4
+("on top of" -> on_top_of; MULTIWORD_PREPOSITIONS in spice.py).
 """
 import pytest
 
 from multimodal_baby_tpu.evaluation.spice import parse_tuples, spice
 
 KNOWN_DIVERGENCES = [
-    "multiword prepositions stay split: 'on top of' -> (x, on, top) + "
-    "(top, of, y) instead of (x, on_top_of, y)",
     "verbs with both subject and direct object emit only the relation "
     "tuple, not an extra (subject, verb) attribute",
     "no coreference: pronoun subjects are dropped rather than resolved",
@@ -176,6 +174,20 @@ FIXTURE = [
     ("a skateboarder doing a trick on a ramp",
      {("skateboarder",), ("trick",), ("ramp",),
       ("skateboarder", "do", "trick"), ("trick", "on", "ramp")}),
+    # --- multiword prepositions (collapsed Stanford-style, round 4) ---
+    ("the cat on top of the shelf",
+     {("cat",), ("shelf",), ("cat", "on_top_of", "shelf")}),
+    ("a dog sitting next to a girl",
+     {("dog",), ("girl",), ("dog", "sit"), ("dog", "next_to", "girl")}),
+    ("a vase in the middle of the table",
+     {("vase",), ("table",), ("vase", "in_the_middle_of", "table")}),
+    ("the boy in front of the house",
+     {("boy",), ("house",), ("boy", "in_front_of", "house")}),
+    ("a bird flying out of the cage",
+     {("bird",), ("cage",), ("bird", "fly"),
+      ("bird", "out_of", "cage")}),
+    ("a bench close to the river",
+     {("bench",), ("river",), ("bench", "close_to", "river")}),
 ]
 
 
