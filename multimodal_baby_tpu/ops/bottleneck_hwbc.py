@@ -197,8 +197,18 @@ def to_hwbc(x: jax.Array, bsub: int = BSUB) -> jax.Array:
     first): when the producer left the tensor in a batch-minor layout
     (XLA's choice after the small-channel stem/pool), the leading
     transpose is a free bitcast and XLA needs one physical copy instead
-    of two (-0.45 ms/step at B=256, measured)."""
+    of two (-0.45 ms/step at B=256, measured).
+
+    MMB_TO_HWBC=rt selects the reshape-first formulation (split B in
+    the [B, H, W, C] frame, one logical transpose) — same result;
+    built because the round-4 B=1024 trace shows the default STILL
+    paying two physical passes at that batch (copy.163 +
+    copy_bitcast_fusion.14, ~4.4 ms/step); which form XLA folds to one
+    copy is empirical per batch/layout."""
     b, h, w, c = x.shape
+    if os.environ.get("MMB_TO_HWBC", "trt") == "rt":
+        t = x.reshape(b // bsub, bsub, h, w, c)
+        return jnp.transpose(t, (2, 0, 3, 1, 4))
     t = jnp.transpose(x, (1, 2, 3, 0))
     t = t.reshape(h, w, c, b // bsub, bsub)
     return jnp.transpose(t, (0, 3, 1, 4, 2))

@@ -118,3 +118,25 @@ def test_blur_matrices_banded_equals_dense_formula():
         # band structure: nothing beyond radius 6
         d = np.abs(np.arange(size)[:, None] - np.arange(size)[None, :])
         assert np.all(got[:, d > 6] == 0.0)
+
+
+def test_csplit_matches_batched_einsum(monkeypatch):
+    """MMB_AUG_CSPLIT=1 (per-channel resample matmuls, built to kill
+    the channel-broadcast of the column matrix XLA materializes for the
+    batched form — round-4 trace) must reproduce the default path.
+    Same contraction order over the same bf16 operands; only the
+    batching shape differs, so agreement is to bf16-accumulation noise."""
+    key = jax.random.PRNGKey(7)
+    imgs = jax.random.randint(
+        jax.random.PRNGKey(3), (8, 64, 64, 3), 0, 256, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    want = augment_batch(key, imgs, out_size=32, dtype=jnp.bfloat16)
+    monkeypatch.setenv("MMB_AUG_CSPLIT", "1")
+    jax.clear_caches()  # flag is read at trace time
+    got = augment_batch(key, imgs, out_size=32, dtype=jnp.bfloat16)
+    monkeypatch.delenv("MMB_AUG_CSPLIT")
+    jax.clear_caches()
+    assert got.shape == want.shape == (8, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.05)

@@ -169,3 +169,22 @@ def test_fused_trunk_matches_conv_path(monkeypatch):
         assert a.shape == b.shape
         denom = max(np.abs(a).max(), 1e-6)
         assert np.abs(a - b).max() / denom < 0.05  # bf16 noise
+
+
+def test_to_hwbc_rt_variant_matches(monkeypatch):
+    """MMB_TO_HWBC=rt (reshape-first formulation) is the same layout
+    pack as the default transpose->reshape->transpose form, bit for
+    bit, for both bf16 (bsub=16) and int8 (bsub=32) sublane counts."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(64, 8, 8, 128).astype(np.float32))
+    for bsub in (16, 32):
+        want = to_hwbc(x, bsub)
+        monkeypatch.setenv("MMB_TO_HWBC", "rt")
+        got = to_hwbc(x, bsub)
+        monkeypatch.delenv("MMB_TO_HWBC")
+        assert got.shape == want.shape
+        assert jnp.array_equal(got, want)
+    # round-trip through the inverse on the bf16 sublane count
+    monkeypatch.setenv("MMB_TO_HWBC", "rt")
+    assert jnp.array_equal(from_hwbc(to_hwbc(x)), x)
+    monkeypatch.delenv("MMB_TO_HWBC")
