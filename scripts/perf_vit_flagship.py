@@ -7,6 +7,7 @@ the layout-native pair-packed attention kernel (measured 1,957 vs 1,586
 pairs/s end-to-end — BENCH_NOTES round-4). MMB_FUSED_ATTN=0 restores
 the XLA softmax path, MMB_VIT_PADSEQ=0 the unpadded 257-token stream."""
 import json
+import os
 import time
 
 import numpy as np
@@ -25,7 +26,8 @@ from multimodal_baby_tpu.models.losses import contrastive_loss_from_logits
 from multimodal_baby_tpu.train import build_optimizer
 from multimodal_baby_tpu.train.optimizer import frozen_mask
 
-BATCH, VOCAB = 256, 2350
+BATCH = int(os.environ.get("MMB_VIT_BENCH_BATCH", "256"))
+VOCAB = 2350
 
 
 def main():
