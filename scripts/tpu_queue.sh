@@ -26,7 +26,10 @@ mkdir -p "$JAX_COMPILATION_CACHE_DIR"   # a /tmp wipe must not silently
 : > "$LOG"
 
 probe() {
-  timeout 90 python -c "
+  # MMB_PROBE_TIMEOUT: on a loaded 1-core box the jax import alone can
+  # exceed 90 s (measured 172 s with pytest running) — a false "tunnel
+  # down". 240 s default keeps the gate useful without starving the queue.
+  timeout "${MMB_PROBE_TIMEOUT:-240}" python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
 print(float((x @ x).sum()))" >/dev/null 2>&1
