@@ -9,9 +9,16 @@ the reference reaches through pycocoevalcap's Java subprocess
   3. synonym  — WordNet synset overlap, only if nltk wordnet
                 data is installed locally                    (weight 0.8)
 
-The Java paraphrase stage needs Meteor's paraphrase tables (not shipped
-anywhere in this image) and is omitted; with child-directed SAYCam
-utterances and COCO captions the exact+stem stages dominate alignments.
+  4. paraphrase — phrase-table span matches                  (weight 0.6)
+
+The paraphrase stage is table-driven exactly like the Java scorer's: it
+activates only when a paraphrase table is loaded (``load_paraphrase_table``
+or the ``MMB_METEOR_PARAPHRASE`` env var pointing at a file of
+``phrase ||| phrase`` or tab-separated lines — the format of Meteor's
+``paraphrase-en`` data file, which is not shipped in this image and must be
+supplied by the user).  Without a table the alignment is identical to the
+three-stage scorer; with child-directed SAYCam utterances and COCO captions
+the exact+stem stages dominate alignments either way.
 
 Scoring follows the Meteor 1.5 English task parameters:
   alpha=0.85 (P/R harmonic weight), beta=0.2 (frag exponent),
@@ -42,7 +49,7 @@ BETA = 0.2
 GAMMA = 0.6
 DELTA = 0.75
 
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)  # exact, stem, synonym, paraphrase
 
 # Meteor ships a function-word list built from common-word frequency; this
 # is the standard English closed-class inventory (articles, pronouns,
@@ -80,6 +87,73 @@ def _synsets(word: str) -> frozenset:
     return frozenset(s.name() for s in _wn.synsets(word))
 
 
+class ParaphraseTable:
+    """Symmetric phrase-equivalence table for the paraphrase stage.
+
+    Meteor's Java aligner looks phrases up in ``data/paraphrase-en.gz``
+    (one ``phrase1 ||| phrase2`` pair per line; plain-text tables use a
+    tab).  Lookup is by word tuple; ``max_len`` bounds the span search.
+    """
+
+    def __init__(self, pairs: Sequence[Tuple[Sequence[str], Sequence[str]]]):
+        table: Dict[Tuple[str, ...], set] = {}
+        self.max_len = 1
+        for a, b in pairs:
+            ta, tb = tuple(a), tuple(b)
+            if not ta or not tb or ta == tb:
+                continue
+            table.setdefault(ta, set()).add(tb)
+            table.setdefault(tb, set()).add(ta)
+            self.max_len = max(self.max_len, len(ta), len(tb))
+        self._table = table
+
+    @classmethod
+    def from_file(cls, path: str) -> "ParaphraseTable":
+        import gzip
+        opener = gzip.open if path.endswith(".gz") else open
+        pairs = []
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.strip().lower()
+                if not line or line.startswith("#"):
+                    continue
+                if " ||| " in line:
+                    parts = line.split(" ||| ")
+                else:
+                    parts = line.split("\t")
+                if len(parts) >= 2:
+                    pairs.append((parts[0].split(), parts[1].split()))
+        return cls(pairs)
+
+    def equivalents(self, phrase: Tuple[str, ...]) -> frozenset:
+        return self._table.get(phrase, frozenset())
+
+    def __len__(self) -> int:
+        return len(self._table)
+
+
+_PARAPHRASES: Optional[ParaphraseTable] = None
+_PARA_ENV_CHECKED = False
+
+
+def load_paraphrase_table(table: Optional[ParaphraseTable]) -> None:
+    """Install (or clear, with None) the paraphrase stage's table."""
+    global _PARAPHRASES, _PARA_ENV_CHECKED
+    _PARAPHRASES = table
+    _PARA_ENV_CHECKED = True
+
+
+def _paraphrases() -> Optional[ParaphraseTable]:
+    global _PARAPHRASES, _PARA_ENV_CHECKED
+    if not _PARA_ENV_CHECKED:
+        _PARA_ENV_CHECKED = True
+        import os
+        path = os.environ.get("MMB_METEOR_PARAPHRASE")
+        if path:
+            _PARAPHRASES = ParaphraseTable.from_file(path)
+    return _PARAPHRASES
+
+
 def _match_stage(h: str, r: str, h_stem: str, r_stem: str,
                  h_syn: frozenset, r_syn: frozenset) -> int:
     """Lowest stage index on which h and r match, or -1."""
@@ -92,79 +166,110 @@ def _match_stage(h: str, r: str, h_stem: str, r_stem: str,
     return -1
 
 
-def _count_chunks(pairs: Sequence[Tuple[int, int]]) -> int:
-    """Chunks = maximal runs contiguous and monotone in both sentences."""
-    if not pairs:
+# A match is a span pair: (hyp_start, hyp_len, ref_start, ref_len, stage).
+# Word-stage matches have len 1/1; the paraphrase stage may match
+# multi-word spans, exactly as Meteor's Java Aligner does.
+Match = Tuple[int, int, int, int, int]
+
+
+def _count_chunks(matches: Sequence[Tuple[int, int, int, int]]) -> int:
+    """Chunks = maximal runs of matches contiguous and monotone in both
+    sentences (a multi-word span extends its chunk by its length)."""
+    if not matches:
         return 0
-    ordered = sorted(pairs)
+    ordered = sorted(matches)
     chunks = 1
-    for (h0, r0), (h1, r1) in zip(ordered, ordered[1:]):
-        if h1 != h0 + 1 or r1 != r0 + 1:
+    for (h0, lh0, r0, lr0), (h1, _, r1, _) in zip(ordered, ordered[1:]):
+        if h1 != h0 + lh0 or r1 != r0 + lr0:
             chunks += 1
     return chunks
 
 
-def _align(hyp: List[str], ref: List[str],
-           beam: int = 40) -> List[Tuple[int, int, int]]:
-    """Return matched (hyp_idx, ref_idx, stage) triples.
-
-    Beam search over hypothesis words: each step either leaves the word
-    unmatched or matches it to a free reference word on some stage.
-    States are ranked by (weighted match total, -chunks-so-far), mirroring
-    Meteor's max-matches / min-chunks objective.
-    """
+def _span_candidates(hyp: List[str], ref: List[str]) -> List[List[Match]]:
+    """Per-hyp-position match candidates across all active stages."""
     h_stems = [_STEMMER.stem(w) for w in hyp]
     r_stems = [_STEMMER.stem(w) for w in ref]
     h_syns = [_synsets(w) for w in hyp] if _HAVE_WORDNET else [frozenset()] * len(hyp)
     r_syns = [_synsets(w) for w in ref] if _HAVE_WORDNET else [frozenset()] * len(ref)
 
-    candidates: List[List[Tuple[int, int]]] = []
+    candidates: List[List[Match]] = [[] for _ in hyp]
     for i, hw in enumerate(hyp):
-        opts = []
         for j, rw in enumerate(ref):
             st = _match_stage(hw, rw, h_stems[i], r_stems[j],
                               h_syns[i], r_syns[j])
             if st >= 0:
-                opts.append((j, st))
-        candidates.append(opts)
+                candidates[i].append((i, 1, j, 1, st))
 
-    # state: (used_ref_frozenset, pairs_tuple) scored lazily
-    states: List[Tuple[float, List[Tuple[int, int, int]]]] = [(0.0, [])]
-    for i, opts in enumerate(candidates):
-        if not opts:
+    table = _paraphrases()
+    if table is not None:
+        # ref-phrase occurrence index up to the table's max span length
+        ref_spans: Dict[Tuple[str, ...], List[Tuple[int, int]]] = {}
+        for j in range(len(ref)):
+            for lj in range(1, min(table.max_len, len(ref) - j) + 1):
+                ref_spans.setdefault(tuple(ref[j:j + lj]), []).append((j, lj))
+        for i in range(len(hyp)):
+            for li in range(1, min(table.max_len, len(hyp) - i) + 1):
+                for tgt in table.equivalents(tuple(hyp[i:i + li])):
+                    for j, lj in ref_spans.get(tgt, ()):
+                        candidates[i].append((i, li, j, lj, 3))
+    return candidates
+
+
+def _align(hyp: List[str], ref: List[str], beam: int = 40) -> List[Match]:
+    """Return matched (hyp_start, hyp_len, ref_start, ref_len, stage) spans.
+
+    Beam search over hypothesis positions: each step either leaves the
+    word unmatched (advance 1) or applies a candidate match whose ref
+    span is free (advance by the hyp span length).  States are ranked by
+    (weighted match total, -chunks-so-far), mirroring Meteor's
+    max-matches / min-chunks objective.
+    """
+    candidates = _span_candidates(hyp, ref)
+
+    # beam per hyp position: position -> [(score, matches)]
+    State = Tuple[float, List[Match]]
+    at: Dict[int, Dict[frozenset, State]] = {0: {frozenset(): (0.0, [])}}
+    for i in range(len(hyp)):
+        here = at.pop(i, None)
+        if not here:
             continue
-        nxt: Dict[frozenset, Tuple[float, List[Tuple[int, int, int]]]] = {}
+        states = sorted(here.values(), key=lambda s: -s[0])[:beam]
 
-        def consider(score: float, pairs: List[Tuple[int, int, int]]):
-            key = frozenset(j for _, j, _ in pairs)
-            cur = nxt.get(key)
+        def consider(pos: int, score: float, matches: List[Match]):
+            key = frozenset(
+                r for _, _, j, lj, _ in matches for r in range(j, j + lj))
+            slot = at.setdefault(pos, {})
+            cur = slot.get(key)
             if cur is None or score > cur[0]:
-                nxt[key] = (score, pairs)
+                slot[key] = (score, matches)
 
-        for score, pairs in states:
-            consider(score, pairs)  # leave word i unmatched
-            used = {j for _, j, _ in pairs}
-            for j, st in opts:
-                if j in used:
+        for score, matches in states:
+            consider(i + 1, score, matches)  # leave word i unmatched
+            used = {r for _, _, j, lj, _ in matches
+                    for r in range(j, j + lj)}
+            for m in candidates[i]:
+                _, li, j, lj, st = m
+                if any(r in used for r in range(j, j + lj)):
                     continue
-                new_pairs = pairs + [(i, j, st)]
-                w = STAGE_WEIGHTS[st]
+                new_matches = matches + [m]
+                w = STAGE_WEIGHTS[st] * max(li, lj)
                 # chunk economy as a small tie-break inside the score
-                ch = _count_chunks([(a, b) for a, b, _ in new_pairs])
-                consider(score + w - 1e-4 * ch + 1e-4, new_pairs)
-        states = sorted(nxt.values(), key=lambda s: -s[0])[:beam]
-        if not states:
-            states = [(0.0, [])]
+                ch = _count_chunks([t[:4] for t in new_matches])
+                consider(i + li, score + w - 1e-4 * ch + 1e-4, new_matches)
 
-    # final selection: most (unweighted) matches, then max weighted,
-    # then min chunks — Meteor resolves ties the same way.
-    def rank(state):
-        _, pairs = state
-        wsum = sum(STAGE_WEIGHTS[st] for _, _, st in pairs)
-        ch = _count_chunks([(a, b) for a, b, _ in pairs])
-        return (len(pairs), wsum, -ch)
+    final = [s for slot in at.values() for s in slot.values()]
 
-    return max(states, key=rank)[1] if states else []
+    # final selection: most matched words, then max weighted, then min
+    # chunks — Meteor resolves ties the same way.
+    def rank(state: State):
+        _, matches = state
+        words = sum(li + lj for _, li, _, lj, _ in matches) / 2.0
+        wsum = sum(STAGE_WEIGHTS[st] * max(li, lj)
+                   for _, li, _, lj, st in matches)
+        ch = _count_chunks([t[:4] for t in matches])
+        return (words, wsum, -ch)
+
+    return max(final, key=rank)[1] if final else []
 
 
 def _word_weight(word: str) -> float:
@@ -212,16 +317,18 @@ def _sentence_stats(references: Sequence[str],
         ref = reference.lower().split()
         if not ref:
             continue
-        pairs = _align(hyp, ref)
+        matches = _align(hyp, ref)
         st = _Stats(
-            m_h=sum(STAGE_WEIGHTS[s] * _word_weight(hyp[i])
-                    for i, _, s in pairs),
-            m_r=sum(STAGE_WEIGHTS[s] * _word_weight(ref[j])
-                    for _, j, s in pairs),
+            m_h=sum(STAGE_WEIGHTS[s] * _word_weight(hyp[w])
+                    for i, li, _, _, s in matches
+                    for w in range(i, i + li)),
+            m_r=sum(STAGE_WEIGHTS[s] * _word_weight(ref[w])
+                    for _, _, j, lj, s in matches
+                    for w in range(j, j + lj)),
             len_h=sum(_word_weight(w) for w in hyp),
             len_r=sum(_word_weight(w) for w in ref),
-            chunks=_count_chunks([(i, j) for i, j, _ in pairs]),
-            matches=len(pairs))
+            chunks=_count_chunks([m[:4] for m in matches]),
+            matches=sum(li + lj for _, li, _, lj, _ in matches) / 2.0)
         if best is None or st.score() > best.score():
             best = st
     return best

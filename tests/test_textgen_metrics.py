@@ -125,6 +125,98 @@ def test_meteor_best_reference_selected():
 
 
 # ---------------------------------------------------------------------------
+# METEOR paraphrase stage (table-driven, like the Java scorer's
+# data/paraphrase-en; inactive without a loaded table)
+# ---------------------------------------------------------------------------
+
+def test_meteor_paraphrase_table_parsing(tmp_path):
+    import gzip
+    from multimodal_baby_tpu.evaluation.meteor import ParaphraseTable
+
+    plain = tmp_path / "para.txt"
+    plain.write_text("wuggled ||| glorped\n"
+                     "# comment line\n"
+                     "on top of\tatop\n"
+                     "same ||| same\n")          # identity pairs dropped
+    t = ParaphraseTable.from_file(str(plain))
+    assert t.equivalents(("wuggled",)) == {("glorped",)}
+    assert t.equivalents(("glorped",)) == {("wuggled",)}   # symmetric
+    assert t.equivalents(("atop",)) == {("on", "top", "of")}
+    assert t.equivalents(("same",)) == frozenset()
+    assert t.max_len == 3
+
+    gz = tmp_path / "para.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("a b ||| c\n")
+    tg = ParaphraseTable.from_file(str(gz))
+    assert tg.equivalents(("c",)) == {("a", "b")}
+
+
+def test_meteor_paraphrase_stage_hand_computed():
+    from multimodal_baby_tpu.evaluation import meteor as M
+
+    # Made-up verbs: no exact/stem/synonym match possible, so the pair
+    # can only align through the paraphrase stage.
+    refs, hyp = ["the blicket glorped"], "the blicket wuggled"
+    base = M.sentence_meteor(refs, hyp)
+    try:
+        M.load_paraphrase_table(
+            M.ParaphraseTable([(["wuggled"], ["glorped"])]))
+        para = M.sentence_meteor(refs, hyp)
+    finally:
+        M.load_paraphrase_table(None)
+
+    # without table: the(func .25) + blicket(content .75) matched exactly
+    p = r = 1.0 / 1.75
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    assert abs(base - fmean * (1 - 0.6 * (1 / 2) ** 0.2)) < 1e-9
+    # with table: + paraphrase match, stage weight .6, content word .75
+    m = 1.45 / 1.75
+    fmean = m  # P == R
+    assert abs(para - fmean * (1 - 0.6 * (1 / 3) ** 0.2)) < 1e-9
+    assert para > base
+    # clearing the table restores the three-stage score exactly
+    assert abs(M.sentence_meteor(refs, hyp) - base) < 1e-12
+
+
+def test_meteor_paraphrase_multiword_span():
+    from multimodal_baby_tpu.evaluation import meteor as M
+
+    try:
+        M.load_paraphrase_table(
+            M.ParaphraseTable([(["on", "top", "of"], ["atop"])]))
+        matches = M._align("the box sat on top of the shelf".split(),
+                           "the box sat atop the shelf".split())
+        # the 3-word hyp span aligns to the 1-word ref span on stage 3
+        assert (3, 3, 3, 1, 3) in matches
+        # span-aware chunk counting: the whole alignment is one
+        # monotone contiguous run
+        assert M._count_chunks([m[:4] for m in matches]) == 1
+        with_table = M.sentence_meteor(["the box sat atop the shelf"],
+                                       "the box sat on top of the shelf")
+    finally:
+        M.load_paraphrase_table(None)
+    without = M.sentence_meteor(["the box sat atop the shelf"],
+                                "the box sat on top of the shelf")
+    assert with_table > without
+
+
+def test_meteor_paraphrase_env_var(tmp_path, monkeypatch):
+    from multimodal_baby_tpu.evaluation import meteor as M
+
+    path = tmp_path / "para.txt"
+    path.write_text("wuggled ||| glorped\n")
+    monkeypatch.setenv("MMB_METEOR_PARAPHRASE", str(path))
+    monkeypatch.setattr(M, "_PARAPHRASES", None)
+    monkeypatch.setattr(M, "_PARA_ENV_CHECKED", False)
+    para = M.sentence_meteor(["the blicket glorped"], "the blicket wuggled")
+    monkeypatch.setattr(M, "_PARAPHRASES", None)
+    monkeypatch.setattr(M, "_PARA_ENV_CHECKED", True)
+    base = M.sentence_meteor(["the blicket glorped"], "the blicket wuggled")
+    assert para > base
+
+
+# ---------------------------------------------------------------------------
 # SPICE (scene-graph tuple F1)
 # ---------------------------------------------------------------------------
 
