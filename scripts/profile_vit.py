@@ -74,7 +74,12 @@ def capture(trace_dir: str) -> None:
     optimizer = build_optimizer(cfg, tp)
     opt_state = optimizer.init(tp)
 
-    def one_step(carry, key):
+    # frozen params must be a jit ARGUMENT, not a closure: closed-over
+    # arrays are serialized into the compile payload, and ~330 MB of
+    # frozen ViT params blows the tunnel's remote_compile request limit
+    # (HTTP 413) — same frozen-params-out-of-carry rule as the ResNeXt
+    # profiler.
+    def one_step(frozen_flat, carry, key):
         tp, opt_state = carry
         imgs = augment_batch(key, batch["image_u8"], augment=True,
                              dtype=jnp.bfloat16)
@@ -95,17 +100,17 @@ def capture(trace_dir: str) -> None:
         return (optax.apply_updates(tp, updates), new_opt), loss
 
     @jax.jit
-    def run10(tp, opt_state, key):
+    def run10(tp, frozen_flat, opt_state, key):
         keys = jax.random.split(key, 10)
-        (tp, opt_state), losses = jax.lax.scan(one_step, (tp, opt_state),
-                                               keys)
+        (tp, opt_state), losses = jax.lax.scan(
+            lambda c, k: one_step(frozen_flat, c, k), (tp, opt_state), keys)
         return tp, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(42)
-    tp2, opt2, loss = run10(tp, opt_state, key)   # compile + warm
+    tp2, opt2, loss = run10(tp, frozen_flat, opt_state, key)  # compile+warm
     _ = float(loss)
     with jax.profiler.trace(trace_dir):
-        _, _, loss = run10(tp, opt_state, key)
+        _, _, loss = run10(tp, frozen_flat, opt_state, key)
         _ = float(loss)
 
 
