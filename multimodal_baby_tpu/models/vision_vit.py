@@ -22,6 +22,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _gelu(h: jax.Array) -> jax.Array:
+    """MLP activation. Default: exact erf GELU (torch ``nn.GELU``'s
+    default, which the reference ViT uses). ``MMB_VIT_GELU`` selects
+    cheaper opt-in forms for the frozen serving path — the B=64 device
+    trace bills the erf epilogue ~0.56 ms per fc1 fusion (the fusion
+    runs 2.3x its matmul floor while fc2 runs AT floor; BENCH_NOTES):
+      tanh    — the tanh approximation (flax approximate=True)
+      sigmoid — x * sigmoid(1.702 x), the cheapest VPU form
+                (max |delta| ~1e-2 of an O(1) activation)
+    """
+    import os
+    mode = os.environ.get("MMB_VIT_GELU", "erf")
+    if mode == "tanh":
+        return nn.gelu(h, approximate=True)
+    if mode == "sigmoid":
+        return h * jax.nn.sigmoid(1.702 * h)
+    return nn.gelu(h, approximate=False)
+
+
 class QuantizableDense(nn.Dense):
     """``nn.Dense`` with an opt-in int8 MXU path for FROZEN trunks.
 
@@ -197,7 +216,7 @@ class ViTBlock(nn.Module):
                                  dtype=self.dtype, int8=self.int8)(
                                      _norm_only(x), ln_scale=s2, ln_bias=b2,
                                      amax_rows=kv_valid)
-            h = nn.gelu(h, approximate=False)
+            h = _gelu(h)
             h = QuantizableDense(self.dim, name="fc2", dtype=self.dtype,
                                  int8=self.int8)(h, amax_rows=kv_valid)
             return x + h
@@ -214,7 +233,7 @@ class ViTBlock(nn.Module):
         h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
                              dtype=self.dtype, int8=self.int8)(
                                  h, amax_rows=kv_valid)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h)
         h = QuantizableDense(self.dim, name="fc2", dtype=self.dtype,
                              int8=self.int8)(h, amax_rows=kv_valid)
         return x + h

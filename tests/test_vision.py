@@ -9,6 +9,7 @@ import torch
 
 import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
 from multimodal_baby_tpu.api.convert import convert_resnext50, convert_vit
 from multimodal_baby_tpu.models.vision_resnext import ResNeXt50
@@ -210,3 +211,27 @@ def test_vit_round4_defaults(monkeypatch):
     monkeypatch.setenv("MMB_FUSED_ATTN", "0")
     got_xla = np.asarray(model.apply(params, x))
     np.testing.assert_array_equal(got_default, got_xla)
+
+
+def test_vit_gelu_variants(monkeypatch):
+    """MMB_VIT_GELU opt-in forms track exact erf GELU within their
+    documented envelopes on O(1) pre-activations (default stays erf —
+    the torch-parity choice; variants exist to price the VPU epilogue
+    the B=64 device trace bills at ~22% of the ViT step)."""
+    import numpy as np
+    from multimodal_baby_tpu.models.vision_vit import _gelu
+
+    h = jnp.asarray(np.random.RandomState(0).randn(4096) * 3, jnp.float32)
+    monkeypatch.delenv("MMB_VIT_GELU", raising=False)
+    exact = np.asarray(_gelu(h))
+    np.testing.assert_allclose(
+        exact, np.asarray(nn.gelu(h, approximate=False)), rtol=0, atol=0)
+
+    monkeypatch.setenv("MMB_VIT_GELU", "tanh")
+    tanh = np.asarray(_gelu(h))
+    assert np.abs(tanh - exact).max() < 5e-3
+    assert not np.array_equal(tanh, exact)  # the env switch took effect
+
+    monkeypatch.setenv("MMB_VIT_GELU", "sigmoid")
+    sig = np.asarray(_gelu(h))
+    assert np.abs(sig - exact).max() < 3e-2
