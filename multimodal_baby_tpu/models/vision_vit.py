@@ -88,6 +88,25 @@ class QuantizableDense(nn.Dense):
         return y
 
 
+class _DenseParams(nn.Module):
+    """Declares ``nn.Dense``'s kernel/bias under the standard names
+    without running the matmul — the qkv-folded attention kernel consumes
+    them directly (param tree stays byte-identical to the Dense path, so
+    checkpoints and the torch converter are unaffected)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        return kernel, bias
+
+
 class _LNParams(nn.Module):
     """Declares LayerNorm's scale/bias under the standard names without
     applying them — the LN-fold path consumes them directly (param tree
@@ -129,15 +148,41 @@ class ViTAttention(nn.Module):
         head_dim = C // H
         scale = head_dim ** -0.5
 
+        import os
+        from multimodal_baby_tpu.ops.attention import (
+            fused_attention, fused_attention_pairs,
+            fused_qkv_attention_pairs, should_fuse_attention,
+            should_fuse_attention_pairs, should_fuse_qkv_attention_pairs)
+
+        # qkv-FOLDED pairs kernel (opt-in, MMB_FUSED_ATTN=qkv): the
+        # projection runs inside the kernel, so the [B, N, 3C] qkv
+        # tensor never exists in HBM — the B=64 trace bills the pairs
+        # kernel at its qkv-read bytes over the ~305 GB/s Mosaic DMA
+        # rate, i.e. purely traffic-bound, and this removes 2/3 of its
+        # input bytes plus the projection fusion's HBM write.
+        if not return_attention and not self.int8 \
+                and jax.devices()[0].platform == "tpu" \
+                and os.environ.get("MMB_FUSED_ATTN", "pairs") in ("3", "qkv") \
+                and should_fuse_qkv_attention_pairs(N, H, head_dim):
+            # same param tree as the unfused path ("qkv"/kernel, bias)
+            w, b = _DenseParams(C, 3 * C, self.qkv_bias, name="qkv")()
+            if ln_scale is not None:
+                # LN-fold, identically to QuantizableDense(ln_scale=...)
+                w32 = w.astype(jnp.float32)
+                w = ln_scale.astype(jnp.float32)[:, None] * w32
+                fold_b = ln_bias.astype(jnp.float32) @ w32
+                b = fold_b if b is None else b + fold_b
+                w = jax.lax.stop_gradient(w)
+                b = jax.lax.stop_gradient(b)
+            xp, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+            y = fused_qkv_attention_pairs(xp, w, b, H, scale, kv_valid)
+            return QuantizableDense(C, name="proj", dtype=self.dtype)(
+                y, amax_rows=kv_valid)
+
         qkv = QuantizableDense(3 * C, use_bias=self.qkv_bias, name="qkv",
                                dtype=self.dtype, int8=self.int8)(
                                    x, ln_scale=ln_scale, ln_bias=ln_bias,
                                    amax_rows=kv_valid)
-
-        import os
-        from multimodal_baby_tpu.ops.attention import (
-            fused_attention, fused_attention_pairs, should_fuse_attention,
-            should_fuse_attention_pairs)
         # layout-native pair-packed kernel: consumes the qkv projection's
         # own [B, N, C] lane layout (no transposes, no lane padding) and
         # keeps the [N, N] scores in VMEM — see ops/attention.py. ON by

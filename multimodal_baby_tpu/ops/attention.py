@@ -258,3 +258,154 @@ def should_fuse_attention_pairs(n_tokens: int, num_heads: int,
     working = (4 * n_tokens * num_heads * head_dim * 2
                + 6 * n_tokens * n_tokens * 4)
     return working < 48 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# qkv-folded pair-packed attention.
+#
+# The pairs kernel above still pays the qkv HBM round-trip: the projection
+# fusion writes [B, N, 3C] to HBM (80 MB/block at ViT-B B=64) and the
+# kernel reads it back at the Mosaic DMA rate (~305 GB/s measured — the
+# B=64 device trace bills the kernel 4.2 ms/step, within 2% of its
+# bytes/305 GB/s line, i.e. purely traffic-bound). Folding the projection
+# INTO the kernel removes that tensor from HBM entirely: the kernel reads
+# the LayerNormed x [B, N, C] once plus the (grid-constant) [C, 3C]
+# weights, computes each pair's q/k/v lanes as three K=C MXU dots, and
+# proceeds exactly as the pairs kernel. Traffic per block drops from
+# in 3C + out C to in C + out C (~2x), and the projection's own HBM
+# write/read disappears from the XLA side as well.
+# ---------------------------------------------------------------------------
+
+
+def _qkv_attn_pairs_kernel(x_ref, w_ref, b_ref, o_ref, *, scale: float,
+                           n_pairs: int, kv_valid: int):
+    N = x_ref.shape[1]
+    C = n_pairs * 128
+    f32 = jnp.float32
+    xb = x_ref[0]                       # [N, C] bf16, tile-aligned
+    dn = (((1,), (1,)), ((), ()))       # q [N,128] x k [N,128] -> [N,N]
+    dn_p = (((1,), (0,)), ((), ()))     # x [N,C] x w [C,128] -> [N,128]
+
+    def project(lane0):
+        # mirror nn.Dense's bf16 arithmetic: bf16 dot (f32 accumulate,
+        # one rounding) then a bf16 bias add
+        y = jax.lax.dot_general(xb, w_ref[:, lane0:lane0 + 128], dn_p,
+                                preferred_element_type=f32)
+        return y.astype(xb.dtype) + b_ref[lane0:lane0 + 128]
+
+    for j in range(n_pairs):
+        lo, hi = 128 * j, 128 * (j + 1)
+        Q = project(lo)
+        K = project(C + lo)
+        V = project(2 * C + lo)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+        sign = jnp.where(lane < 64, 1.0, -1.0).astype(K.dtype)
+        ssum = jax.lax.dot_general(Q, K, dn, preferred_element_type=f32)
+        sdiff = jax.lax.dot_general(Q, (K * sign), dn,
+                                    preferred_element_type=f32)
+        half_scale = 0.5 * scale
+        sa = (ssum + sdiff) * half_scale
+        sb = (ssum - sdiff) * half_scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        cmask = jnp.where(col < kv_valid, 0.0, -1e9).astype(f32)
+
+        def smax(s):
+            s = s + cmask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            return (p / jnp.sum(p, axis=-1, keepdims=True)).astype(Q.dtype)
+
+        pa, pb = smax(sa), smax(sb)
+        lomask = jnp.where(lane < 64, 1.0, 0.0).astype(V.dtype)
+        ya = jax.lax.dot_general(pa, V * lomask, dn_p,
+                                 preferred_element_type=f32)
+        yb = jax.lax.dot_general(pb, V * (1.0 - lomask), dn_p,
+                                 preferred_element_type=f32)
+        o_ref[0, :, lo:hi] = (ya + yb).astype(o_ref.dtype)
+
+
+def _xla_qkv_attention_pairs(x, wqkv, bqkv, num_heads: int, scale: float,
+                             kv_valid=None):
+    """Oracle/VJP reference: project then attend (same math, XLA ops)."""
+    qkv = x @ wqkv.astype(x.dtype)
+    if bqkv is not None:
+        qkv = qkv + bqkv.astype(x.dtype)
+    C = x.shape[-1]
+    return _xla_attention_pairs(qkv[..., :C], qkv[..., C:2 * C],
+                                qkv[..., 2 * C:], num_heads, scale,
+                                kv_valid)
+
+
+def _pallas_qkv_attention_pairs(x, wqkv, bqkv, num_heads, scale,
+                                kv_valid=None):
+    B, N, C = x.shape
+    n_pairs = C // 128
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * C,), x.dtype)
+    kern = functools.partial(
+        _qkv_attn_pairs_kernel, scale=scale, n_pairs=n_pairs,
+        kv_valid=N if kv_valid is None else min(kv_valid, N))
+    flops = (2 * B * N * C * 3 * C            # in-kernel qkv projection
+             + 4 * B * n_pairs * N * N * 128 * 2)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # grid-constant operands: Mosaic elides the re-DMA between
+            # consecutive grid steps
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=2 * B * n_pairs * N * N,
+            bytes_accessed=(2 * B * N * C + 3 * C * C) * x.dtype.itemsize),
+        interpret=_interpret(),
+    )(x, wqkv.astype(x.dtype), bqkv.astype(x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_qkv_attention_pairs(x, wqkv, bqkv, num_heads: int, scale: float,
+                              kv_valid: int | None = None):
+    """qkv projection + multi-head attention in ONE kernel on the native
+    [B, N, C] layout: x is the (LayerNormed) block input, wqkv [C, 3C] /
+    bqkv [3C] the projection parameters (lane order (q|k|v) x (head,
+    feature), head_dim 64). The [B, N, 3C] qkv tensor never exists in
+    HBM. Requires head_dim == 64 and an even head count."""
+    return _pallas_qkv_attention_pairs(x, wqkv, bqkv, num_heads, scale,
+                                       kv_valid)
+
+
+def _qkv_pairs_fwd(x, wqkv, bqkv, num_heads, scale, kv_valid):
+    return _pallas_qkv_attention_pairs(x, wqkv, bqkv, num_heads, scale,
+                                       kv_valid), (x, wqkv, bqkv)
+
+
+def _qkv_pairs_bwd(num_heads, scale, kv_valid, res, g):
+    x, wqkv, bqkv = res
+    _, vjp = jax.vjp(
+        lambda x, w, b: _xla_qkv_attention_pairs(x, w, b, num_heads,
+                                                 scale, kv_valid),
+        x, wqkv, bqkv)
+    return vjp(g)
+
+
+fused_qkv_attention_pairs.defvjp(_qkv_pairs_fwd, _qkv_pairs_bwd)
+
+
+def should_fuse_qkv_attention_pairs(n_tokens: int, num_heads: int,
+                                    head_dim: int) -> bool:
+    """Pairs constraints plus the resident [C, 3C] weight block."""
+    if not should_fuse_attention_pairs(n_tokens, num_heads, head_dim):
+        return False
+    C = num_heads * head_dim
+    return 3 * C * C * 2 < 16 * 1024 * 1024

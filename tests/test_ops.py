@@ -285,3 +285,77 @@ def test_fused_attention_pairs_vit_dispatch_parity():
                                 qkv[:, :, 2 * C:], H, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_qkv_attention_pairs_matches_oracle():
+    """qkv-folded pair-packed attention (ops/attention.py): the in-kernel
+    projection + attention must reproduce project-then-attend exactly
+    (f32, interpret mode), including bias, kv_valid masking, and grads
+    through the XLA-reference VJP."""
+    from multimodal_baby_tpu.ops.attention import (
+        _xla_qkv_attention_pairs, fused_qkv_attention_pairs,
+        should_fuse_qkv_attention_pairs)
+    assert should_fuse_qkv_attention_pairs(272, 12, 64)
+    assert not should_fuse_qkv_attention_pairs(272, 12, 96)
+
+    rng = np.random.RandomState(4)
+    B, N, H, d = 2, 10, 4, 64
+    C = H * d
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(C, 3 * C) / np.sqrt(C)).astype(np.float32))
+    b = jnp.asarray(rng.randn(3 * C).astype(np.float32) * 0.1)
+    scale = d ** -0.5
+
+    out = fused_qkv_attention_pairs(x, w, b, H, scale)
+    ref = _xla_qkv_attention_pairs(x, w, b, H, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # no-bias path
+    out0 = fused_qkv_attention_pairs(x, w, None, H, scale)
+    ref0 = _xla_qkv_attention_pairs(x, w, None, H, scale)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0),
+                               atol=1e-5, rtol=1e-5)
+
+    # kv_valid: poisoned pad tokens in x must be invisible to real queries
+    valid = 7
+    xp = x.at[:, valid:].set(1e3)
+    out = fused_qkv_attention_pairs(xp, w, b, H, scale, valid)
+    ref = _xla_qkv_attention_pairs(x[:, :valid], w, b, H, scale)
+    np.testing.assert_allclose(np.asarray(out[:, :valid]),
+                               np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    # grads flow through the XLA-reference VJP for every operand
+    def f(x, w, b):
+        return (fused_qkv_attention_pairs(x, w, b, H, scale) ** 2).sum()
+
+    def f_ref(x, w, b):
+        return (_xla_qkv_attention_pairs(x, w, b, H, scale) ** 2).sum()
+
+    gx, gw, gb = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+    rx, rw, rb = jax.grad(f_ref, argnums=(0, 1, 2))(x, w, b)
+    for g, r in ((gx, rx), (gw, rw), (gb, rb)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_qkv_fold_param_tree_matches_dense():
+    """The fused-qkv branch declares the qkv params via _DenseParams: the
+    tree must be byte-identical (names, shapes, dtypes, init) to the
+    nn.Dense the unfused path creates, so checkpoints interchange."""
+    import flax.linen as nn
+    from multimodal_baby_tpu.models.vision_vit import _DenseParams
+
+    C = 64
+    dense = nn.Dense(3 * C)
+    alias = _DenseParams(C, 3 * C, use_bias=True)
+    k = jax.random.PRNGKey(0)
+    pd = dense.init(k, jnp.zeros((1, C)))["params"]
+    pa = alias.init(k)["params"]
+    assert set(pd) == set(pa) == {"kernel", "bias"}
+    for name in pd:
+        assert pd[name].shape == pa[name].shape
+        assert pd[name].dtype == pa[name].dtype
+        # same init distribution and rng fold -> identical values
+        np.testing.assert_array_equal(np.asarray(pd[name]),
+                                      np.asarray(pa[name]))
