@@ -274,8 +274,27 @@ class ViTBlock(nn.Module):
         x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
                              self.dtype, int8=self.int8, name="attn")(
                                  y, kv_valid=kv_valid)
+
+        import os
+        from multimodal_baby_tpu.ops.vit_mlp import fused_mlp, should_fuse_mlp
+        F = int(self.dim * self.mlp_ratio)
+        # fused MLP kernel (opt-in, MMB_VIT_MLP=fused): norm2 + fc1 +
+        # GELU + fc2 + residual in one program; the [B, N, 4C] hidden
+        # tensor stays in VMEM and the GELU VPU work is chunked to
+        # overlap the fc2 MXU dots (the B=64 trace bills fc1's serial
+        # erf epilogue at 2.3x the matmul floor — ops/vit_mlp.py).
+        if not self.int8 and jax.devices()[0].platform == "tpu" \
+                and os.environ.get("MMB_VIT_MLP", "") == "fused" \
+                and should_fuse_mlp(x.shape[1], self.dim, F):
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            w1, bb1 = _DenseParams(self.dim, F, name="fc1")()
+            w2, bb2 = _DenseParams(F, self.dim, name="fc2")()
+            return fused_mlp(
+                x, s2, b2, w1, bb1, w2, bb2, 1e-6,
+                os.environ.get("MMB_VIT_GELU", "erf"))
+
         h = ln(name="norm2")(x)
-        h = QuantizableDense(int(self.dim * self.mlp_ratio), name="fc1",
+        h = QuantizableDense(F, name="fc1",
                              dtype=self.dtype, int8=self.int8)(
                                  h, amax_rows=kv_valid)
         h = _gelu(h)

@@ -291,7 +291,7 @@ def _qkv_attn_pairs_kernel(x_ref, w_ref, b_ref, o_ref, *, scale: float,
         # one rounding) then a bf16 bias add
         y = jax.lax.dot_general(xb, w_ref[:, lane0:lane0 + 128], dn_p,
                                 preferred_element_type=f32)
-        return y.astype(xb.dtype) + b_ref[lane0:lane0 + 128]
+        return y.astype(xb.dtype) + b_ref[0, lane0:lane0 + 128]
 
     for j in range(n_pairs):
         lo, hi = 128 * j, 128 * (j + 1)
@@ -358,7 +358,9 @@ def _pallas_qkv_attention_pairs(x, wqkv, bqkv, num_heads, scale,
             # consecutive grid steps
             pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * C,), lambda b: (0,),
+            # vectors ride as [1, D] (the TPU-safe pattern, cf.
+            # bottleneck_hwbc's reshape(1, -1) params)
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
@@ -370,7 +372,7 @@ def _pallas_qkv_attention_pairs(x, wqkv, bqkv, num_heads, scale,
             flops=flops, transcendentals=2 * B * n_pairs * N * N,
             bytes_accessed=(2 * B * N * C + 3 * C * C) * x.dtype.itemsize),
         interpret=_interpret(),
-    )(x, wqkv.astype(x.dtype), bqkv.astype(x.dtype))
+    )(x, wqkv.astype(x.dtype), bqkv.astype(x.dtype).reshape(1, -1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

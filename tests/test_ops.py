@@ -359,3 +359,55 @@ def test_qkv_fold_param_tree_matches_dense():
         # same init distribution and rng fold -> identical values
         np.testing.assert_array_equal(np.asarray(pd[name]),
                                       np.asarray(pa[name]))
+
+
+def test_fused_mlp_matches_oracle():
+    """Fused ViT MLP kernel (ops/vit_mlp.py): LN + fc1 + GELU + fc2 +
+    residual in one program must reproduce the block math (f32,
+    interpret mode) for every GELU form, and grads must flow through the
+    XLA-reference VJP."""
+    from multimodal_baby_tpu.ops.vit_mlp import (
+        _xla_mlp, fused_mlp, should_fuse_mlp)
+    assert should_fuse_mlp(272, 768, 3072)
+    assert not should_fuse_mlp(272, 768, 3070)   # chunk misalignment
+
+    rng = np.random.RandomState(5)
+    B, N, C, F = 2, 10, 128, 512
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    gs = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    gb = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    w1 = jnp.asarray((rng.randn(C, F) / np.sqrt(C)).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.randn(F).astype(np.float32))
+    w2 = jnp.asarray((rng.randn(F, C) / np.sqrt(F)).astype(np.float32))
+    b2 = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+
+    for mode in ("erf", "tanh", "sigmoid"):
+        out = fused_mlp(x, gs, gb, w1, b1, w2, b2, 1e-6, mode)
+        ref = _xla_mlp(x, gs, gb, w1, b1, w2, b2, 1e-6, mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    # the erf form equals the flax block math it replaces
+    import flax.linen as nn
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.square(x32).mean(-1, keepdims=True) - jnp.square(mu)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * gs + gb
+    ref_flax = x + (nn.gelu(xn @ w1 + b1, approximate=False) @ w2 + b2)
+    out = fused_mlp(x, gs, gb, w1, b1, w2, b2, 1e-6, "erf")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flax),
+                               atol=2e-5, rtol=2e-5)
+
+    def f(*a):
+        return (fused_mlp(*a, 1e-6, "erf") ** 2).sum()
+
+    def f_ref(*a):
+        from multimodal_baby_tpu.ops.vit_mlp import _xla_mlp as m
+        return (m(*a, eps=1e-6, gelu_mode="erf") ** 2).sum()
+
+    gots = jax.grad(f, argnums=tuple(range(7)))(x, gs, gb, w1, b1, w2, b2)
+    refs = jax.grad(f_ref, argnums=tuple(range(7)))(x, gs, gb, w1, b1,
+                                                    w2, b2)
+    for g, r in zip(gots, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
