@@ -107,6 +107,22 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _AttnParams(nn.Module):
+    """Declares ViTAttention's qkv/proj Dense params (same nested names)
+    without running them — the whole-block attention kernel consumes
+    them directly."""
+
+    dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.dim, 3 * self.dim, self.qkv_bias,
+                              name="qkv")()
+        wp, bp = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return wq, bq, wp, bp
+
+
 class _LNParams(nn.Module):
     """Declares LayerNorm's scale/bias under the standard names without
     applying them — the LN-fold path consumes them directly (param tree
@@ -266,16 +282,36 @@ class ViTBlock(nn.Module):
                                  int8=self.int8)(h, amax_rows=kv_valid)
             return x + h
         ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype)
-        y = ln(name="norm1")(x)
         if return_attention:
             return ViTAttention(self.dim, self.num_heads, self.qkv_bias,
                                 self.dtype, name="attn")(
-                                    y, return_attention=True)
-        x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
-                             self.dtype, int8=self.int8, name="attn")(
-                                 y, kv_valid=kv_valid)
+                                    ln(name="norm1")(x),
+                                    return_attention=True)
 
         import os
+        from multimodal_baby_tpu.ops.attention import (
+            fused_block_attention, should_fuse_block_attention)
+        head_dim = self.dim // self.num_heads
+        # whole-attention-half kernel (opt-in, MMB_FUSED_ATTN=block):
+        # norm1 + qkv + pair-packed attention + out-proj + residual in
+        # one program — per block the only HBM traffic is reading x and
+        # writing the result (ops/attention.py).
+        if not self.int8 and jax.devices()[0].platform == "tpu" \
+                and os.environ.get("MMB_FUSED_ATTN", "pairs") == "block" \
+                and should_fuse_block_attention(x.shape[1],
+                                                self.num_heads, head_dim):
+            s1, b1 = _LNParams(self.dim, name="norm1")()
+            wq, bq, wp, bp = _AttnParams(self.dim, self.qkv_bias,
+                                         name="attn")()
+            x = fused_block_attention(x, s1, b1, wq, bq, wp, bp,
+                                      self.num_heads, head_dim ** -0.5,
+                                      kv_valid, 1e-6)
+        else:
+            y = ln(name="norm1")(x)
+            x = x + ViTAttention(self.dim, self.num_heads, self.qkv_bias,
+                                 self.dtype, int8=self.int8, name="attn")(
+                                     y, kv_valid=kv_valid)
+
         from multimodal_baby_tpu.ops.vit_mlp import fused_mlp, should_fuse_mlp
         F = int(self.dim * self.mlp_ratio)
         # fused MLP kernel (opt-in, MMB_VIT_MLP=fused): norm2 + fc1 +

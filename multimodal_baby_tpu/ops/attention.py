@@ -411,3 +411,175 @@ def should_fuse_qkv_attention_pairs(n_tokens: int, num_heads: int,
         return False
     C = num_heads * head_dim
     return 3 * C * C * 2 < 16 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Whole attention half of a pre-norm ViT block in one kernel:
+#     x + proj(attention(qkv(LayerNorm(x))))
+# HBM traffic per block drops to read-x + write-out (the LN output, the
+# [B, N, 3C] qkv tensor, the attention output, and the pre-residual proj
+# output never exist in HBM). The out-projection needs no concat of the
+# per-pair attention outputs: y @ Wp = sum_j y[:, lo_j:hi_j] @ Wp[lo_j:hi_j]
+# — each pair's output contracts against its OWN row block of Wp and
+# accumulates, the same pattern as the fused MLP's fc2 (ops/vit_mlp.py).
+# ---------------------------------------------------------------------------
+
+
+def _blk_attn_kernel(x_ref, g_ref, gb_ref, w_ref, b_ref, wp_ref, bp_ref,
+                     o_ref, *, scale: float, n_pairs: int, kv_valid: int,
+                     eps: float):
+    N = x_ref.shape[1]
+    C = n_pairs * 128
+    f32 = jnp.float32
+    xb = x_ref[0]                        # [N, C]
+    x32 = xb.astype(f32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[0].astype(f32)
+          + gb_ref[0].astype(f32)).astype(xb.dtype)   # [N, C]
+
+    dn = (((1,), (1,)), ((), ()))
+    dn_p = (((1,), (0,)), ((), ()))
+
+    def project(lane0):
+        y = jax.lax.dot_general(xn, w_ref[:, lane0:lane0 + 128], dn_p,
+                                preferred_element_type=f32)
+        return y.astype(xb.dtype) + b_ref[0, lane0:lane0 + 128]
+
+    acc = jnp.zeros((N, C), f32)
+    for j in range(n_pairs):
+        lo, hi = 128 * j, 128 * (j + 1)
+        Q = project(lo)
+        K = project(C + lo)
+        V = project(2 * C + lo)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+        sign = jnp.where(lane < 64, 1.0, -1.0).astype(K.dtype)
+        ssum = jax.lax.dot_general(Q, K, dn, preferred_element_type=f32)
+        sdiff = jax.lax.dot_general(Q, (K * sign), dn,
+                                    preferred_element_type=f32)
+        half_scale = 0.5 * scale
+        sa = (ssum + sdiff) * half_scale
+        sb = (ssum - sdiff) * half_scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        cmask = jnp.where(col < kv_valid, 0.0, -1e9).astype(f32)
+
+        def smax(s):
+            s = s + cmask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            return (p / jnp.sum(p, axis=-1, keepdims=True)).astype(Q.dtype)
+
+        pa, pb = smax(sa), smax(sb)
+        lomask = jnp.where(lane < 64, 1.0, 0.0).astype(V.dtype)
+        ya = jax.lax.dot_general(pa, V * lomask, dn_p,
+                                 preferred_element_type=f32)
+        yb = jax.lax.dot_general(pb, V * (1.0 - lomask), dn_p,
+                                 preferred_element_type=f32)
+        yj = (ya + yb).astype(xb.dtype)              # [N, 128]
+        acc = acc + jax.lax.dot_general(yj, wp_ref[lo:hi, :], dn_p,
+                                        preferred_element_type=f32)
+    out = x32 + acc + bp_ref[0].astype(f32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _xla_block_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                         num_heads: int, scale: float, kv_valid=None,
+                         eps: float = 1e-6):
+    """Oracle/VJP reference: LN + project + attend + proj + residual."""
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.square(x32).mean(-1, keepdims=True) - jnp.square(mu)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale.astype(f32)
+          + ln_bias.astype(f32)).astype(x.dtype)
+    y = _xla_qkv_attention_pairs(xn, wqkv, bqkv, num_heads, scale,
+                                 kv_valid)
+    out = (y @ wproj.astype(x.dtype) + bproj.astype(x.dtype)).astype(f32)
+    return (x32 + out).astype(x.dtype)
+
+
+def _pallas_block_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                            bproj, num_heads, scale, kv_valid=None,
+                            eps=1e-6):
+    B, N, C = x.shape
+    n_pairs = C // 128
+    dt = x.dtype
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * C,), dt)
+    kern = functools.partial(
+        _blk_attn_kernel, scale=scale, n_pairs=n_pairs,
+        kv_valid=N if kv_valid is None else min(kv_valid, N), eps=eps)
+    flops = (2 * B * N * C * 3 * C + 2 * B * N * C * C
+             + 4 * B * n_pairs * N * N * 128 * 2)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(3 * C),
+            pl.BlockSpec((C, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=2 * B * n_pairs * N * N,
+            bytes_accessed=(2 * B * N * C + 4 * C * C) * dt.itemsize),
+        interpret=_interpret(),
+    )(x, ln_scale.astype(dt).reshape(1, -1),
+      ln_bias.astype(dt).reshape(1, -1), wqkv.astype(dt),
+      bqkv.astype(dt).reshape(1, -1), wproj.astype(dt),
+      bproj.astype(dt).reshape(1, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_block_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                          num_heads: int, scale: float,
+                          kv_valid: int | None = None, eps: float = 1e-6):
+    """The whole attention half of a pre-norm ViT block in one kernel:
+    ``x + proj(attention(qkv(LN(x))))``. x: [B, N, C]; per block the
+    only HBM traffic is reading x and writing the result."""
+    return _pallas_block_attention(x, ln_scale, ln_bias, wqkv, bqkv,
+                                   wproj, bproj, num_heads, scale,
+                                   kv_valid, eps)
+
+
+def _blk_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, num_heads,
+             scale, kv_valid, eps):
+    out = _pallas_block_attention(x, ln_scale, ln_bias, wqkv, bqkv,
+                                  wproj, bproj, num_heads, scale,
+                                  kv_valid, eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+
+
+def _blk_bwd(num_heads, scale, kv_valid, eps, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_block_attention(*a, num_heads=num_heads,
+                                        scale=scale, kv_valid=kv_valid,
+                                        eps=eps),
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+    return vjp(g)
+
+
+fused_block_attention.defvjp(_blk_fwd, _blk_bwd)
+
+
+def should_fuse_block_attention(n_tokens: int, num_heads: int,
+                                head_dim: int) -> bool:
+    """qkv-fold constraints plus the resident [C, C] proj block."""
+    if not should_fuse_qkv_attention_pairs(n_tokens, num_heads, head_dim):
+        return False
+    C = num_heads * head_dim
+    return (3 * C * C + C * C) * 2 < 20 * 1024 * 1024

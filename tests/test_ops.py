@@ -411,3 +411,73 @@ def test_fused_mlp_matches_oracle():
     for g, r in zip(gots, refs):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_block_attention_matches_oracle():
+    """Whole-attention-half kernel (ops/attention.py): LN + qkv +
+    pair-packed attention + out-proj + residual in one program vs the
+    same math in XLA ops, plus kv_valid and grads."""
+    from multimodal_baby_tpu.ops.attention import (
+        _xla_block_attention, fused_block_attention,
+        should_fuse_block_attention)
+    assert should_fuse_block_attention(272, 12, 64)
+
+    rng = np.random.RandomState(6)
+    B, N, H, d = 2, 10, 4, 64
+    C = H * d
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    gs = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    gb = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    wq = jnp.asarray((rng.randn(C, 3 * C) / np.sqrt(C)).astype(np.float32))
+    bq = jnp.asarray(0.1 * rng.randn(3 * C).astype(np.float32))
+    wp = jnp.asarray((rng.randn(C, C) / np.sqrt(C)).astype(np.float32))
+    bp = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    scale = d ** -0.5
+
+    args = (x, gs, gb, wq, bq, wp, bp)
+    out = fused_block_attention(*args, H, scale)
+    ref = _xla_block_attention(*args, num_heads=H, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # kv_valid: pad tokens must not contaminate real-token outputs
+    valid = 7
+    xp = x.at[:, valid:].set(1e3)
+    out = fused_block_attention(xp, gs, gb, wq, bq, wp, bp, H, scale,
+                                valid)
+    ref = _xla_block_attention(x[:, :valid], gs, gb, wq, bq, wp, bp,
+                               num_heads=H, scale=scale)
+    np.testing.assert_allclose(np.asarray(out[:, :valid]),
+                               np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def f(*a):
+        return (fused_block_attention(*a, H, scale) ** 2).sum()
+
+    def f_ref(*a):
+        from multimodal_baby_tpu.ops.attention import _xla_block_attention
+        return (_xla_block_attention(*a, num_heads=H,
+                                     scale=scale) ** 2).sum()
+
+    gots = jax.grad(f, argnums=tuple(range(7)))(*args)
+    refs = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    for g, r in zip(gots, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_block_attention_param_tree_matches_vit():
+    """The fused-block branch's _AttnParams/_LNParams aliases must
+    declare the exact param tree ViTBlock's unfused path creates."""
+    from multimodal_baby_tpu.models.vision_vit import ViTBlock
+    blk = ViTBlock(dim=128, num_heads=2)
+    x = jnp.zeros((1, 9, 128))
+    tree = jax.tree_util.tree_map(
+        lambda a: (a.shape, str(a.dtype)),
+        blk.init(jax.random.PRNGKey(0), x)["params"])
+    # what the fused path consumes: norm1/{scale,bias},
+    # attn/qkv/{kernel,bias}, attn/proj/{kernel,bias} + the MLP names
+    assert set(tree) == {"norm1", "norm2", "attn", "fc1", "fc2"}
+    assert set(tree["attn"]) == {"qkv", "proj"}
+    assert tree["attn"]["qkv"]["kernel"] == ((128, 384), "float32")
+    assert tree["attn"]["proj"]["kernel"] == ((128, 128), "float32")
+    assert set(tree["norm1"]) == {"scale", "bias"}
