@@ -235,3 +235,28 @@ def test_vit_gelu_variants(monkeypatch):
     monkeypatch.setenv("MMB_VIT_GELU", "sigmoid")
     sig = np.asarray(_gelu(h))
     assert np.abs(sig - exact).max() < 3e-2
+
+
+def test_vit_gelu_embedding_fidelity(monkeypatch):
+    """End-to-end envelope of the cheap GELU forms: CLS embeddings of a
+    random-init ViT under tanh/sigmoid stay near-parallel to erf's (the
+    full-size bf16 measurement is scripts/vit_gelu_fidelity.py — ViT-B/14
+    cos >= 0.9998, forced-choice agreement 255/256 tanh / 250/256 sigmoid,
+    BENCH_NOTES round-4; this pins the claim at CI scale in f32)."""
+    import numpy as np
+    monkeypatch.delenv("MMB_VIT_GELU", raising=False)
+    model = VisionTransformerDino(patch_size=14, embed_dim=64, depth=2,
+                                  num_heads=4, base_img_size=56)
+    x = jnp.asarray(np.random.RandomState(5).randn(4, 56, 56, 3),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    def unit(e):
+        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+    base = unit(np.asarray(model.apply(params, x)))
+    for mode, floor in (("tanh", 0.9995), ("sigmoid", 0.999)):
+        monkeypatch.setenv("MMB_VIT_GELU", mode)
+        e = unit(np.asarray(model.apply(params, x)))
+        cos = np.sum(e * base, axis=-1)
+        assert cos.min() > floor, (mode, cos)
