@@ -2,10 +2,11 @@
 # Published-weights parity bundle: the one-command BASELINE.md gate
 # (Labeled-S zero-shot within 0.5% absolute of the published CVCL
 # numbers) for the moment network + the prepared SAYCam eval data are
-# reachable. Offline pieces of this flow are covered by
-# tests/test_parity_matrix.py (conversion + scoring vs live reference
-# modules on random weights) and tests/test_cli.py; this script is the
-# trained-weights end of it.
+# reachable. The full --published code path (download-shim -> convert ->
+# trials -> summary-CSV diff, this script's exact argument assembly) is
+# exercised offline by tests/test_parity_published.py; conversion +
+# scoring vs the live reference modules is tests/test_parity_matrix.py.
+# This script is the trained-weights end of it.
 #
 #   bash scripts/parity_published.sh [data_dir] [reference_summary_csv]
 #
