@@ -78,6 +78,11 @@ VOCAB = 2350
 JPEG_DIR = os.environ.get("MMB_BENCH_JPEG_DIR", "/tmp/mmb_bench_jpegs")
 N_JPEGS = int(os.environ.get("MMB_BENCH_N_JPEGS", "8192"))
 
+# --vit operating point: B=128 is the measured-best batch for the ViT
+# flagship (BENCH_NOTES round-4 queues 6-7: 2,014 at B=128 vs 1,957 at
+# B=256 — matmul-bound, no amortization win above 128)
+VIT_BATCH = int(os.environ.get("MMB_VIT_BENCH_BATCH", "128"))
+
 
 def make_batch(rng, b):
     images = rng.randint(0, 256, (b, IMG, IMG, 3), np.uint8)

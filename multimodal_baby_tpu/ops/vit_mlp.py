@@ -36,13 +36,58 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _gelu_f32(h: jax.Array, mode: str) -> jax.Array:
-    """GELU on f32, selected like models/vision_vit._gelu."""
+def _erfc_rational_f32(a: jax.Array) -> jax.Array:
+    """erfc on f32 for a >= 0, from exp/div/FMA only (A&S 7.1.26).
+
+    Mosaic's TC lowering has no `erf` primitive (measured: the erf fused-MLP
+    queue-14 combos abort with NotImplementedError), so the in-kernel erf GELU
+    uses this classical rational form. Absolute error <= 1.5e-7 (textbook
+    bound) + f32 rounding; measured max |Derf| = 4.7e-7 vs lax.erf
+    (tests/test_ops.py::test_erf_rational_matches_lax_erf).
+    """
+    f32 = jnp.float32
+    t = 1.0 / (1.0 + f32(0.3275911) * a)
+    poly = t * (f32(0.254829592)
+                + t * (f32(-0.284496736)
+                       + t * (f32(1.421413741)
+                              + t * (f32(-1.453152027)
+                                     + t * f32(1.061405429)))))
+    return poly * jnp.exp(-a * a)
+
+
+def _erf_rational_f32(x: jax.Array) -> jax.Array:
+    """erf(x) = sign(x) * (1 - erfc(|x|)), Mosaic-lowerable (see above)."""
+    return jnp.sign(x) * (1.0 - _erfc_rational_f32(jnp.abs(x)))
+
+
+def _gelu_erf_kernel_f32(h: jax.Array) -> jax.Array:
+    """erf-form GELU via the cancellation-free erfc branch.
+
+    GELU(h) = 0.5*h*(1 + erf(h/sqrt2)). For h < 0 the (1 + erf) factor
+    cancels catastrophically, so compute it directly as erfc(|h|/sqrt2);
+    for h >= 0 it is 2 - erfc. Fidelity envelope (measured,
+    tests/test_ops.py): max |DGELU| <= 2.5e-6 absolute everywhere
+    (the tail share of that is lax.erf's OWN rounding); bf16 outputs
+    >= 99% bit-identical to the lax.erf form on the live range
+    |h| <= 4 with every live disagreement exactly one bf16 ulp;
+    larger relative disagreements are confined to the dead tail
+    h < -4 where |GELU(h)| < 2e-4.
+    """
+    E = _erfc_rational_f32(jnp.abs(h) * jnp.float32(0.7071067811865476))
+    branch = jnp.where(h < 0, E, 2.0 - E)
+    return 0.5 * h * branch
+
+
+def _gelu_f32(h: jax.Array, mode: str, *, in_kernel: bool = False) -> jax.Array:
+    """GELU on f32, selected like models/vision_vit._gelu. `in_kernel`
+    swaps lax.erf for the Mosaic-lowerable rational erfc form (see above)."""
     if mode == "tanh":
         c = jnp.float32(0.7978845608028654)  # sqrt(2/pi)
         return 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h)))
     if mode == "sigmoid":
         return h * jax.nn.sigmoid(1.702 * h)
+    if in_kernel:
+        return _gelu_erf_kernel_f32(h)
     return 0.5 * h * (1.0 + jax.lax.erf(h * jnp.float32(0.7071067811865476)))
 
 
@@ -66,7 +111,7 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h = jax.lax.dot_general(xn, w1_ref[:, lo:hi], dn,
                                 preferred_element_type=f32)
         h = h + b1_ref[0, lo:hi].astype(f32)
-        g = _gelu_f32(h, gelu_mode).astype(xb.dtype)
+        g = _gelu_f32(h, gelu_mode, in_kernel=True).astype(xb.dtype)
         acc = acc + jax.lax.dot_general(g, w2_ref[lo:hi, :], dn,
                                         preferred_element_type=f32)
     out = x32 + acc + b2_ref[0].astype(f32)

