@@ -16,6 +16,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
+def test_run_synthetic_vit_mode(monkeypatch):
+    """bench.py --vit (VERDICT r4 task 4): the ViT-flagship measurement
+    path must run at toy shapes on CPU. 56px (4 patches/side) exercises
+    the pos-embed interpolation exactly like the 224px headline."""
+    monkeypatch.setattr(bench, "IMG", 56)
+    monkeypatch.setattr(bench, "STEPS_PER_CALL", 1)
+    monkeypatch.setattr(bench, "WARMUP_CALLS", 1)
+    monkeypatch.setattr(bench, "TIMED_CALLS", 1)
+    pairs = bench.run_synthetic(bench.build_vit_flagship, batch_size=2)
+    assert pairs > 0
+
+
 def test_run_mesh_two_virtual_devices(monkeypatch):
     monkeypatch.setattr(bench, "BATCH", 4)       # per-chip batch
     monkeypatch.setattr(bench, "IMG", 32)
