@@ -76,7 +76,10 @@ COMMON_VERBS = frozenset(
     "fall falls fell falling do does did doing done see sees seen "
     "bring brings brought buy buys bought feed feeds fed build "
     "builds built sleep sleeps slept keep keeps kept leave "
-    "left tell tells told drive drives drove draw draws drew".split())
+    "left tell tells told drive drives drove draw draws drew "
+    "wash bake cook clean brush kiss hug help wave clap sing sang "
+    "dance cry laugh smile blow blew cut pour stir wipe pick lick "
+    "bite bit chew climb crawl roll splash".split())
 # Complex prepositions collapsed to one relation token, as the Stanford
 # collapsed-dependencies stage inside the Java SPICE does ("on top of"
 # -> on_top_of). Longest match wins; names are the "_"-joined surface
@@ -193,7 +196,16 @@ def _tag(tokens: Sequence[str]) -> List[str]:
         elif w in INTERJECTIONS and i == 0:
             t = "INTJ"
         elif w in COMMON_VERBS:
-            t = "VERB"
+            # NP position ("the watch", "a drink"): a known verb form
+            # right after a determiner/adjective is a noun head, as the
+            # Stanford tagger resolves it
+            t = "NOUN" if tags and tags[-1] in ("DET", "ADJ") else "VERB"
+        elif _lemma(w) in COMMON_VERBS:
+            # lemma membership catches inflections not enumerated above
+            # ("washes" -> wash); additionally the direct-object slot
+            # ("eating leaves") prefers the nominal reading
+            t = ("NOUN" if tags and tags[-1] in ("DET", "ADJ", "VERB")
+                 else "VERB")
         elif w in COMMON_ADJECTIVES:
             t = "ADJ"
         elif w.endswith("ly") and len(w) > 4:

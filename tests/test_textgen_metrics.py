@@ -152,6 +152,32 @@ def test_meteor_paraphrase_table_parsing(tmp_path):
     assert tg.equivalents(("c",)) == {("a", "b")}
 
 
+def test_meteor_paraphrase_env_file_live(tmp_path, monkeypatch):
+    """The MMB_METEOR_PARAPHRASE file hook end-to-end (the path the
+    reconstructed-subset live run uses, scripts/meteor_paraphrase_live.py):
+    a Meteor-1.5-format table on disk activates the stage, raises
+    paraphrase-rich scores, and leaves paraphrase-free pairs unchanged."""
+    from multimodal_baby_tpu.evaluation import meteor as M
+
+    M.load_paraphrase_table(None)
+    refs, hyp = ["the baby sits on the sofa"], "the infant sits on the couch"
+    ctl_refs, ctl_hyp = ["the ball is red"], "the ball is red"
+    base = M.sentence_meteor(refs, hyp)
+    ctl = M.sentence_meteor(ctl_refs, ctl_hyp)
+
+    table = tmp_path / "subset.txt"
+    table.write_text("couch ||| sofa\ninfant ||| baby\n")
+    monkeypatch.setenv("MMB_METEOR_PARAPHRASE", str(table))
+    try:
+        M._PARAPHRASES = None
+        M._PARA_ENV_CHECKED = False
+        assert len(M._paraphrases()) == 4      # 2 pairs, symmetric
+        assert M.sentence_meteor(refs, hyp) > base
+        assert abs(M.sentence_meteor(ctl_refs, ctl_hyp) - ctl) < 1e-12
+    finally:
+        M.load_paraphrase_table(None)
+
+
 def test_meteor_paraphrase_stage_hand_computed():
     from multimodal_baby_tpu.evaluation import meteor as M
 
