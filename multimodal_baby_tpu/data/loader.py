@@ -66,6 +66,7 @@ class DataLoader:
             yield idxs
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import os
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -78,6 +79,15 @@ class DataLoader:
             if batch_items is not None:
                 return batch_items(idxs)
             return collate([self.dataset[int(j)] for j in idxs])
+
+        if os.environ.get("MMB_LOADER_SYNC", "0") == "1":
+            # measurement/debug bypass: produce batches inline on the
+            # consumer thread — no executor, no prefetch. Isolates the
+            # ThreadPoolExecutor hop's cost from the loader's own logic
+            # (scripts/perf_loader_gap.py decomposes the two).
+            for idxs in self._batch_indices():
+                yield make(idxs)
+            return
 
         it = self._batch_indices()
         ex = ThreadPoolExecutor(self.num_workers)

@@ -80,6 +80,22 @@ def test_loader_covers_all_items_in_order():
     assert sorted(a) == list(range(23)) and a != list(range(23))
 
 
+def test_loader_sync_bypass_matches_threaded(monkeypatch):
+    """MMB_LOADER_SYNC=1 (the perf_loader_gap.py measurement bypass)
+    yields the identical batch stream — same indices, same order — as
+    the threaded path."""
+    ds = _ToyDataset(23)
+    loader = DataLoader(ds, batch_size=5, shuffle=True, seed=3,
+                        num_workers=3, prefetch=2)
+    threaded = [[int(x[0, 0, 0]) for x in b["image_u8"]] for b in loader]
+    monkeypatch.setenv("MMB_LOADER_SYNC", "1")
+    loader2 = DataLoader(ds, batch_size=5, shuffle=True, seed=3,
+                         num_workers=3, prefetch=2)
+    sync = [[int(x[0, 0, 0]) for x in b["image_u8"]] for b in loader2]
+    assert sync == threaded
+    assert sorted(x for b in sync for x in b) == list(range(23))
+
+
 def test_eval_include_sos_eos():
     from multimodal_baby_tpu.data.datasets import EvalTrialDataset
     from multimodal_baby_tpu.data.vocab import Vocab
