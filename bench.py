@@ -438,6 +438,7 @@ def main():
         value = run_synthetic(build_vit_flagship, VIT_BATCH)
         n_chips = max(1, len(jax.devices()))
         value /= n_chips
+        from multimodal_baby_tpu.models import vision_vit as _vv
         print(json.dumps({
             "metric": "ViT-flagship pairs/sec/chip (train+encode)",
             "value": round(value, 1),
@@ -450,8 +451,8 @@ def main():
                         "(B=128, queue-14 control)",
             "operating_point": {
                 "batch": VIT_BATCH,
-                "attn_kernel": os.environ.get("MMB_FUSED_ATTN", "pairs"),
-                "mlp_kernel": os.environ.get("MMB_VIT_MLP", "xla"),
+                "attn_kernel": _vv._attn_mode(),
+                "mlp_kernel": _vv._mlp_mode() or "xla",
                 "gelu": os.environ.get("MMB_VIT_GELU", "erf"),
                 "padseq": os.environ.get("MMB_VIT_PADSEQ", "1"),
             },

@@ -22,6 +22,29 @@ import jax
 import jax.numpy as jnp
 
 
+# Committed kernel-dispatch defaults (round-5 flip, measured on the 55.5%
+# ViT flagship config at B=128 — BENCH_NOTES "ViT kernel-combo ladder"):
+# the whole-attention-half block kernel + the fused MLP with the in-kernel
+# rational erfc GELU run 2,820.5 pairs/s vs 2,016.4 for round 4's
+# padseq+pairs default (+40%) at erf-faithful numerics (the rational erf's
+# |Δerf| ≤ 1.5e-7 sits two decades below bf16 resolution; envelope gated
+# in tests/test_ops.py and re-measured at a trained operating point by
+# scripts/fidelity_trained.py). MMB_FUSED_ATTN=pairs MMB_VIT_MLP=
+# restores the round-4 dispatch; =0 / =off disables kernels entirely.
+_ATTN_DEFAULT = "block"
+_MLP_DEFAULT = "fused"
+
+
+def _attn_mode() -> str:
+    import os
+    return os.environ.get("MMB_FUSED_ATTN", _ATTN_DEFAULT)
+
+
+def _mlp_mode() -> str:
+    import os
+    return os.environ.get("MMB_VIT_MLP", _MLP_DEFAULT)
+
+
 def _gelu(h: jax.Array) -> jax.Array:
     """MLP activation. Default: exact erf GELU (torch ``nn.GELU``'s
     default, which the reference ViT uses). ``MMB_VIT_GELU`` selects
@@ -178,7 +201,7 @@ class ViTAttention(nn.Module):
         # input bytes plus the projection fusion's HBM write.
         if not return_attention and not self.int8 \
                 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "pairs") in ("3", "qkv") \
+                and _attn_mode() in ("3", "qkv") \
                 and should_fuse_qkv_attention_pairs(N, H, head_dim):
             # same param tree as the unfused path ("qkv"/kernel, bias)
             w, b = _DenseParams(C, 3 * C, self.qkv_bias, name="qkv")()
@@ -205,9 +228,14 @@ class ViTAttention(nn.Module):
         # default on TPU: measured 1,957 vs 1,586 pairs/s end-to-end at
         # ViT-B/14 B=256 under the default token-axis padseq (BENCH_NOTES
         # round-4). MMB_FUSED_ATTN=0 restores the XLA softmax path.
+        # Any fused mode falls back to this kernel when its own shape
+        # gate fails (e.g. mode "block" at a token count the whole-block
+        # kernel can't tile): the stronger kernels dispatch earlier in
+        # ViTBlock / above when they can, so reaching here under
+        # "block"/"qkv" means only the pairs kernel remains viable.
         if not return_attention \
                 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "pairs") in ("2", "pairs") \
+                and _attn_mode() in ("2", "pairs", "3", "qkv", "block") \
                 and should_fuse_attention_pairs(N, H, head_dim):
             y = fused_attention_pairs(
                 qkv[:, :, :C], qkv[:, :, C:2 * C], qkv[:, :, 2 * C:],
@@ -224,7 +252,7 @@ class ViTAttention(nn.Module):
         # B=256) — see BENCH_NOTES.md. MMB_FUSED_ATTN=1 enables.
         if not return_attention \
                 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "pairs") == "1" \
+                and _attn_mode() == "1" \
                 and should_fuse_attention(N, head_dim):
             # Pallas kernel: scores never leave VMEM (ops/attention.py);
             # kv_valid masks pad key columns under MMB_VIT_PADSEQ
@@ -297,7 +325,7 @@ class ViTBlock(nn.Module):
         # one program — per block the only HBM traffic is reading x and
         # writing the result (ops/attention.py).
         if not self.int8 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_FUSED_ATTN", "pairs") == "block" \
+                and _attn_mode() == "block" \
                 and should_fuse_block_attention(x.shape[1],
                                                 self.num_heads, head_dim):
             s1, b1 = _LNParams(self.dim, name="norm1")()
@@ -320,7 +348,7 @@ class ViTBlock(nn.Module):
         # overlap the fc2 MXU dots (the B=64 trace bills fc1's serial
         # erf epilogue at 2.3x the matmul floor — ops/vit_mlp.py).
         if not self.int8 and jax.devices()[0].platform == "tpu" \
-                and os.environ.get("MMB_VIT_MLP", "") == "fused" \
+                and _mlp_mode() == "fused" \
                 and should_fuse_mlp(x.shape[1], self.dim, F):
             s2, b2 = _LNParams(self.dim, name="norm2")()
             w1, bb1 = _DenseParams(self.dim, F, name="fc1")()

@@ -194,13 +194,16 @@ def test_vit_padseq_with_lnfold_exact(monkeypatch):
 
 
 def test_vit_round4_defaults(monkeypatch):
-    """Round-4 flipped defaults: token-axis padseq is ON when
-    MMB_VIT_PADSEQ is unset (257 -> 272), and the pair-packed attention
-    default (MMB_FUSED_ATTN unset == 'pairs') is TPU-gated — on CPU the
-    default path must equal the explicit XLA-softmax path exactly."""
+    """Committed defaults: token-axis padseq is ON when MMB_VIT_PADSEQ is
+    unset (257 -> 272), and the kernel defaults (round 5: block attention
+    + fused MLP) are TPU-gated — on CPU the default path must equal the
+    explicit XLA-softmax path exactly."""
     import numpy as np
+    from multimodal_baby_tpu.models import vision_vit as vv
     monkeypatch.delenv("MMB_VIT_PADSEQ", raising=False)
     monkeypatch.delenv("MMB_FUSED_ATTN", raising=False)
+    monkeypatch.delenv("MMB_VIT_MLP", raising=False)
+    assert vv._attn_mode() == "block" and vv._mlp_mode() == "fused"
     model = VisionTransformerDino(patch_size=14, embed_dim=64, depth=2,
                                   num_heads=4, base_img_size=56)
     assert model._padded_len(257) == 272 and model._padded_len(17) == 32
