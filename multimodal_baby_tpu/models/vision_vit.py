@@ -320,6 +320,30 @@ class ViTBlock(nn.Module):
         from multimodal_baby_tpu.ops.attention import (
             fused_block_attention, should_fuse_block_attention)
         head_dim = self.dim // self.num_heads
+
+        # whole-ViT-block kernel (opt-in, MMB_VIT_BLOCK=1): BOTH halves
+        # in one program — the inter-half y tensor never exists in HBM
+        # (ops/vit_block.py; bit-identical to the block+fused-MLP
+        # composition below).
+        from multimodal_baby_tpu.ops.vit_block import (
+            fused_vit_block, should_fuse_vit_block)
+        if not self.int8 and jax.devices()[0].platform == "tpu" \
+                and os.environ.get("MMB_VIT_BLOCK", "0") == "1" \
+                and should_fuse_vit_block(x.shape[1], self.num_heads,
+                                          head_dim,
+                                          int(self.dim * self.mlp_ratio)):
+            s1, b1 = _LNParams(self.dim, name="norm1")()
+            wq, bq, wp, bp = _AttnParams(self.dim, self.qkv_bias,
+                                         name="attn")()
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            Fh = int(self.dim * self.mlp_ratio)
+            w1, bb1 = _DenseParams(self.dim, Fh, name="fc1")()
+            w2, bb2 = _DenseParams(Fh, self.dim, name="fc2")()
+            return fused_vit_block(
+                x, s1, b1, wq, bq, wp, bp, s2, b2, w1, bb1, w2, bb2,
+                self.num_heads, head_dim ** -0.5, kv_valid, 1e-6,
+                os.environ.get("MMB_VIT_GELU", "erf"))
+
         # whole-attention-half kernel (opt-in, MMB_FUSED_ATTN=block):
         # norm1 + qkv + pair-packed attention + out-proj + residual in
         # one program — per block the only HBM traffic is reading x and

@@ -425,18 +425,21 @@ def should_fuse_qkv_attention_pairs(n_tokens: int, num_heads: int,
 # ---------------------------------------------------------------------------
 
 
-def _blk_attn_kernel(x_ref, g_ref, gb_ref, w_ref, b_ref, wp_ref, bp_ref,
-                     o_ref, *, scale: float, n_pairs: int, kv_valid: int,
-                     eps: float):
-    N = x_ref.shape[1]
+def _attn_half_f32(xb, g, gb, w_ref, b, wp_ref, bp, *, scale: float,
+                   n_pairs: int, kv_valid: int, eps: float):
+    """The attention half's math on VMEM-resident values/refs: bf16
+    block input [N, C] -> f32 ``x + proj(attn(qkv(LN(x))))``. Shared by
+    ``_blk_attn_kernel`` and the whole-ViT-block kernel
+    (ops/vit_block.py); weight matrices arrive as REFS so only the
+    active lane slices load per dot."""
+    N = xb.shape[0]
     C = n_pairs * 128
     f32 = jnp.float32
-    xb = x_ref[0]                        # [N, C]
     x32 = xb.astype(f32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
-    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[0].astype(f32)
-          + gb_ref[0].astype(f32)).astype(xb.dtype)   # [N, C]
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * g.astype(f32)
+          + gb.astype(f32)).astype(xb.dtype)   # [N, C]
 
     dn = (((1,), (1,)), ((), ()))
     dn_p = (((1,), (0,)), ((), ()))
@@ -444,7 +447,7 @@ def _blk_attn_kernel(x_ref, g_ref, gb_ref, w_ref, b_ref, wp_ref, bp_ref,
     def project(lane0):
         y = jax.lax.dot_general(xn, w_ref[:, lane0:lane0 + 128], dn_p,
                                 preferred_element_type=f32)
-        return y.astype(xb.dtype) + b_ref[0, lane0:lane0 + 128]
+        return y.astype(xb.dtype) + b[lane0:lane0 + 128]
 
     acc = jnp.zeros((N, C), f32)
     for j in range(n_pairs):
@@ -479,7 +482,15 @@ def _blk_attn_kernel(x_ref, g_ref, gb_ref, w_ref, b_ref, wp_ref, bp_ref,
         yj = (ya + yb).astype(xb.dtype)              # [N, 128]
         acc = acc + jax.lax.dot_general(yj, wp_ref[lo:hi, :], dn_p,
                                         preferred_element_type=f32)
-    out = x32 + acc + bp_ref[0].astype(f32)
+    return x32 + acc + bp.astype(f32)
+
+
+def _blk_attn_kernel(x_ref, g_ref, gb_ref, w_ref, b_ref, wp_ref, bp_ref,
+                     o_ref, *, scale: float, n_pairs: int, kv_valid: int,
+                     eps: float):
+    out = _attn_half_f32(x_ref[0], g_ref[0], gb_ref[0], w_ref, b_ref[0],
+                         wp_ref, bp_ref[0], scale=scale, n_pairs=n_pairs,
+                         kv_valid=kv_valid, eps=eps)
     o_ref[0] = out.astype(o_ref.dtype)
 
 

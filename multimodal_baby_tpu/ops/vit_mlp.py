@@ -91,17 +91,19 @@ def _gelu_f32(h: jax.Array, mode: str, *, in_kernel: bool = False) -> jax.Array:
     return 0.5 * h * (1.0 + jax.lax.erf(h * jnp.float32(0.7071067811865476)))
 
 
-def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, eps: float, f_chunk: int, n_chunks: int,
-                gelu_mode: str):
+def _mlp_half_f32(xb, g, b, w1_ref, b1, w2_ref, b2, *, eps: float,
+                  f_chunk: int, n_chunks: int, gelu_mode: str):
+    """The MLP half's math on VMEM-resident values/refs: bf16 block
+    input [N, C] -> f32 ``x + fc2(gelu(fc1(LN(x))))``. Shared by
+    ``_mlp_kernel`` and the whole-ViT-block kernel (ops/vit_block.py);
+    weight matrices arrive as REFS so only one hidden chunk's slices
+    load per dot."""
     f32 = jnp.float32
-    xb = x_ref[0]                                   # [N, C] bf16
     x32 = xb.astype(f32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
     xn32 = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    xn = (xn32 * g_ref[0].astype(f32)
-          + b_ref[0].astype(f32)).astype(xb.dtype)    # [N, C]
+    xn = (xn32 * g.astype(f32) + b.astype(f32)).astype(xb.dtype)  # [N, C]
 
     dn = (((1,), (0,)), ((), ()))
     acc = jnp.zeros((xb.shape[0], xb.shape[1]), f32)  # [N, C]
@@ -110,11 +112,19 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         hi = lo + f_chunk
         h = jax.lax.dot_general(xn, w1_ref[:, lo:hi], dn,
                                 preferred_element_type=f32)
-        h = h + b1_ref[0, lo:hi].astype(f32)
-        g = _gelu_f32(h, gelu_mode, in_kernel=True).astype(xb.dtype)
-        acc = acc + jax.lax.dot_general(g, w2_ref[lo:hi, :], dn,
+        h = h + b1[lo:hi].astype(f32)
+        gact = _gelu_f32(h, gelu_mode, in_kernel=True).astype(xb.dtype)
+        acc = acc + jax.lax.dot_general(gact, w2_ref[lo:hi, :], dn,
                                         preferred_element_type=f32)
-    out = x32 + acc + b2_ref[0].astype(f32)
+    return x32 + acc + b2.astype(f32)
+
+
+def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, eps: float, f_chunk: int, n_chunks: int,
+                gelu_mode: str):
+    out = _mlp_half_f32(x_ref[0], g_ref[0], b_ref[0], w1_ref, b1_ref[0],
+                        w2_ref, b2_ref[0], eps=eps, f_chunk=f_chunk,
+                        n_chunks=n_chunks, gelu_mode=gelu_mode)
     o_ref[0] = out.astype(o_ref.dtype)
 
 

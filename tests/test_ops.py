@@ -527,3 +527,90 @@ def test_block_attention_param_tree_matches_vit():
     assert tree["attn"]["qkv"]["kernel"] == ((128, 384), "float32")
     assert tree["attn"]["proj"]["kernel"] == ((128, 128), "float32")
     assert set(tree["norm1"]) == {"scale", "bias"}
+
+
+def test_fused_vit_block_matches_oracle_and_composition():
+    """Whole-ViT-block kernel (ops/vit_block.py): both halves in one
+    program must (a) reproduce the composed XLA reference, (b) equal the
+    block-attention kernel -> fused-MLP kernel composition BITWISE in
+    bf16 (the kernel rounds the inter-half tensor through bf16 exactly
+    like the two-kernel path's HBM write), (c) mask pad keys via
+    kv_valid, and (d) flow grads through the XLA-reference VJP."""
+    from multimodal_baby_tpu.ops.attention import fused_block_attention
+    from multimodal_baby_tpu.ops.vit_block import (
+        _xla_vit_block, fused_vit_block, should_fuse_vit_block)
+    from multimodal_baby_tpu.ops.vit_mlp import fused_mlp
+    assert should_fuse_vit_block(272, 12, 64, 3072)
+    assert not should_fuse_vit_block(272, 12, 64, 3070)
+
+    rng = np.random.RandomState(11)
+    B, N, H, d, F = 2, 10, 2, 64, 512
+    C = H * d
+    scale = d ** -0.5
+
+    def arr(*shape, s=1.0):
+        return jnp.asarray((s * rng.randn(*shape)).astype(np.float32))
+
+    x = arr(B, N, C)
+    g1, gb1 = 1.0 + arr(C, s=0.1), arr(C, s=0.1)
+    wq, bq = arr(C, 3 * C, s=C ** -0.5), arr(3 * C, s=0.1)
+    wp, bp = arr(C, C, s=C ** -0.5), arr(C, s=0.1)
+    g2, gb2 = 1.0 + arr(C, s=0.1), arr(C, s=0.1)
+    w1, b1 = arr(C, F, s=C ** -0.5), arr(F, s=0.1)
+    w2, b2 = arr(F, C, s=F ** -0.5), arr(C, s=0.1)
+    args = (x, g1, gb1, wq, bq, wp, bp, g2, gb2, w1, b1, w2, b2)
+
+    for mode in ("erf", "tanh"):
+        out = fused_vit_block(*args, H, scale, None, 1e-6, mode)
+        ref = _xla_vit_block(*args, num_heads=H, scale=scale,
+                             gelu_mode=mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+    # (b) bf16 bit-equality with the two-kernel composition
+    xb = x.astype(jnp.bfloat16)
+    fused = fused_vit_block(xb, g1, gb1, wq, bq, wp, bp, g2, gb2, w1,
+                            b1, w2, b2, H, scale)
+    y = fused_block_attention(xb, g1, gb1, wq, bq, wp, bp, H, scale)
+    composed = fused_mlp(y, g2, gb2, w1, b1, w2, b2, 1e-6, "erf")
+    np.testing.assert_array_equal(
+        np.asarray(fused).view(np.uint16),
+        np.asarray(composed).view(np.uint16))
+
+    # (c) kv_valid: pad tokens must not contaminate real-token outputs
+    valid = 7
+    xp = x.at[:, valid:].set(1e3)
+    out = fused_vit_block(xp, *args[1:], H, scale, valid)
+    ref = _xla_vit_block(x[:, :valid], *args[1:], num_heads=H,
+                         scale=scale)
+    np.testing.assert_allclose(np.asarray(out[:, :valid]),
+                               np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    # (d) grads vs the composed XLA reference
+    def f(*a):
+        return (fused_vit_block(*a, H, scale) ** 2).sum()
+
+    def f_ref(*a):
+        return (_xla_vit_block(*a, num_heads=H, scale=scale) ** 2).sum()
+
+    gots = jax.grad(f, argnums=tuple(range(13)))(*args)
+    refs = jax.grad(f_ref, argnums=tuple(range(13)))(*args)
+    for g, r in zip(gots, refs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_vit_block_param_tree_matches_vit():
+    """The MMB_VIT_BLOCK=1 dispatch consumes the exact param tree the
+    unfused ViTBlock path creates (norm1/attn/norm2/fc1/fc2)."""
+    import os
+    from unittest import mock
+    from multimodal_baby_tpu.models.vision_vit import ViTBlock
+    blk = ViTBlock(dim=128, num_heads=2)
+    x = jnp.zeros((1, 9, 128))
+    base = blk.init(jax.random.PRNGKey(0), x)["params"]
+    with mock.patch.dict(os.environ, {"MMB_VIT_BLOCK": "1"}):
+        fused = blk.init(jax.random.PRNGKey(0), x)["params"]
+    bt = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), base)
+    ft = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), fused)
+    assert bt == ft
