@@ -257,13 +257,20 @@ def report_gate(name, emb, base_emb, cls, extra=None):
 
 def gates_vit(params, bstats, pool):
     imgs, _, _, cls = pool
-    base = embed("vit", params, bstats, imgs)
+    # base = the exact path (XLA softmax attention, XLA erf MLP); the
+    # round-5 committed default (block attention + fused MLP w/ rational
+    # erfc GELU) is itself a gated row against it
+    exact = {"MMB_FUSED_ATTN": "0", "MMB_VIT_MLP": ""}
+    base = embed("vit", params, bstats, imgs, env=exact)
     for name, env in (
+            ("vit_committed_default@trained", {}),
+            ("vit_wholeblock_kernel@trained", {"MMB_VIT_BLOCK": "1"}),
+            ("vit_attn_qkv@trained",
+             {"MMB_FUSED_ATTN": "qkv", "MMB_VIT_MLP": ""}),
+            ("vit_attn_block@trained",
+             {"MMB_FUSED_ATTN": "block", "MMB_VIT_MLP": ""}),
             ("vit_gelu_tanh@trained", {"MMB_VIT_GELU": "tanh"}),
             ("vit_gelu_sigmoid@trained", {"MMB_VIT_GELU": "sigmoid"}),
-            ("vit_fusedmlp_rational_erf@trained", {"MMB_VIT_MLP": "fused"}),
-            ("vit_attn_qkv@trained", {"MMB_FUSED_ATTN": "qkv"}),
-            ("vit_attn_block@trained", {"MMB_FUSED_ATTN": "block"}),
             ("vit_int8@trained", {"MMB_VIT_INT8": "1"}),
     ):
         emb = embed("vit", params, bstats, imgs, env=env)
