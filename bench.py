@@ -453,6 +453,7 @@ def main():
                 "batch": VIT_BATCH,
                 "attn_kernel": _vv._attn_mode(),
                 "mlp_kernel": _vv._mlp_mode() or "xla",
+                "wholeblock_kernel": os.environ.get("MMB_VIT_BLOCK", "0"),
                 "gelu": os.environ.get("MMB_VIT_GELU", "erf"),
                 "padseq": os.environ.get("MMB_VIT_PADSEQ", "1"),
             },
