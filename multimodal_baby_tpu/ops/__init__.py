@@ -6,3 +6,5 @@ from multimodal_baby_tpu.ops.lstm import lstm_fused
 from multimodal_baby_tpu.ops.quant import (
     bottleneck_reference_q, fold_block_params_q, quantize_activation,
     quantize_weight)
+from multimodal_baby_tpu.ops.vit_block import (fused_vit_block,
+                                               should_fuse_vit_block)
