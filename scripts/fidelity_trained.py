@@ -204,9 +204,13 @@ def embed(arch, params, bstats, imgs_u8, env=None, int8_plan=None):
             cols["batch_stats"] = bstats
         if int8_plan is not None:
             from multimodal_baby_tpu.models.quant_calib import calibrate_cvcl
-            init_v = model.init(jax.random.PRNGKey(0), x[:2],
-                                jnp.zeros((2, MAX_LEN_UTTERANCE), jnp.int32),
-                                jnp.full((2,), 3, jnp.int32))
+            # init batch must satisfy the fused-trunk layout gate
+            # (b_local % 32 == 0 for int8) or the fallback path runs and
+            # never creates the quant_scales collection
+            nb = min(32, x.shape[0])
+            init_v = model.init(jax.random.PRNGKey(0), x[:nb],
+                                jnp.zeros((nb, MAX_LEN_UTTERANCE), jnp.int32),
+                                jnp.full((nb,), 3, jnp.int32))
             if "quant_scales" in init_v:
                 cal = calibrate_cvcl({**cols,
                                       "quant_scales": init_v["quant_scales"]},
