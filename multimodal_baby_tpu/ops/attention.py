@@ -13,6 +13,7 @@ the CVCL recipes, so the forward is the hot path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
+
+
+def _smax_mode() -> str:
+    """MMB_ATTN_SMAX: '' (exact, default), 'defer' (divide after the
+    value contraction — one [N,128] row-scale instead of two [N,N]
+    divides per pair; p is bf16-quantized pre- instead of
+    post-division), or 'ablate' (softmax REPLACED by a cast —
+    numerically WRONG, bench-only MXU/VPU decomposition knob)."""
+    return os.environ.get("MMB_ATTN_SMAX", "")
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -466,20 +476,42 @@ def _attn_half_f32(xb, g, gb, w_ref, b, wp_ref, bp, *, scale: float,
 
         col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
         cmask = jnp.where(col < kv_valid, 0.0, -1e9).astype(f32)
+        mode = _smax_mode()
 
-        def smax(s):
-            s = s + cmask
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            return (p / jnp.sum(p, axis=-1, keepdims=True)).astype(Q.dtype)
-
-        pa, pb = smax(sa), smax(sb)
+        if mode == "ablate":
+            # bench-only: no mask/max/exp/div — isolates the MXU chain
+            pa, pb = sa.astype(Q.dtype), sb.astype(Q.dtype)
+            za = zb = None
+        elif mode == "defer":
+            def smax_u(s):
+                s = s + cmask
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                return p.astype(Q.dtype), jnp.sum(p, axis=-1,
+                                                  keepdims=True)
+            pa, za = smax_u(sa)
+            pb, zb = smax_u(sb)
+        else:
+            def smax(s):
+                s = s + cmask
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                return (p / jnp.sum(p, axis=-1,
+                                    keepdims=True)).astype(Q.dtype)
+            pa, pb = smax(sa), smax(sb)
+            za = zb = None
         lomask = jnp.where(lane < 64, 1.0, 0.0).astype(V.dtype)
         ya = jax.lax.dot_general(pa, V * lomask, dn_p,
                                  preferred_element_type=f32)
         yb = jax.lax.dot_general(pb, V * (1.0 - lomask), dn_p,
                                  preferred_element_type=f32)
-        yj = (ya + yb).astype(xb.dtype)              # [N, 128]
+        if za is not None:
+            # deferred normalization: row-scale the packed output pair
+            # (lanes 0:64 came from head a / p_a, 64:128 from head b)
+            rscale = jnp.where(lane < 64, 1.0 / za, 1.0 / zb)
+            yj = ((ya + yb) * rscale).astype(xb.dtype)
+        else:
+            yj = (ya + yb).astype(xb.dtype)          # [N, 128]
         acc = acc + jax.lax.dot_general(yj, wp_ref[lo:hi, :], dn_p,
                                         preferred_element_type=f32)
     return x32 + acc + bp.astype(f32)
@@ -487,11 +519,15 @@ def _attn_half_f32(xb, g, gb, w_ref, b, wp_ref, bp, *, scale: float,
 
 def _blk_attn_kernel(x_ref, g_ref, gb_ref, w_ref, b_ref, wp_ref, bp_ref,
                      o_ref, *, scale: float, n_pairs: int, kv_valid: int,
-                     eps: float):
-    out = _attn_half_f32(x_ref[0], g_ref[0], gb_ref[0], w_ref, b_ref[0],
-                         wp_ref, bp_ref[0], scale=scale, n_pairs=n_pairs,
-                         kv_valid=kv_valid, eps=eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+                     eps: float, bm: int = 1):
+    # bm > 1 (MMB_VIT_BLOCK_BM): several images per program — their
+    # MXU/VPU chains are independent, giving the scheduler cross-image
+    # work to overlap the serial softmax stretches with
+    for i in range(bm):
+        out = _attn_half_f32(x_ref[i], g_ref[0], gb_ref[0], w_ref,
+                             b_ref[0], wp_ref, bp_ref[0], scale=scale,
+                             n_pairs=n_pairs, kv_valid=kv_valid, eps=eps)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _xla_block_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
@@ -518,18 +554,22 @@ def _pallas_block_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     dt = x.dtype
     if bqkv is None:
         bqkv = jnp.zeros((3 * C,), dt)
+    bm = int(os.environ.get("MMB_VIT_BLOCK_BM", "1"))
+    if bm < 1 or B % bm != 0:
+        bm = 1
     kern = functools.partial(
         _blk_attn_kernel, scale=scale, n_pairs=n_pairs,
-        kv_valid=N if kv_valid is None else min(kv_valid, N), eps=eps)
+        kv_valid=N if kv_valid is None else min(kv_valid, N), eps=eps,
+        bm=bm)
     flops = (2 * B * N * C * 3 * C + 2 * B * N * C * C
              + 4 * B * n_pairs * N * N * 128 * 2)
     vec = lambda n: pl.BlockSpec((1, n), lambda b: (0, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // bm,),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((bm, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(C), vec(C),
             pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
@@ -539,7 +579,7 @@ def _pallas_block_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                          memory_space=pltpu.VMEM),
             vec(C),
         ],
-        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((bm, N, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
         compiler_params=pltpu.CompilerParams(

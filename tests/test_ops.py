@@ -511,6 +511,52 @@ def test_fused_block_attention_matches_oracle():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_block_attention_smax_and_bm_knobs(monkeypatch):
+    """MMB_ATTN_SMAX=defer (divide after the value contraction) must
+    stay within the kernel's bf16 envelope of the exact form, and
+    MMB_VIT_BLOCK_BM>1 (several images per program) must be
+    bit-identical to bm=1 — it only re-tiles the grid."""
+    from multimodal_baby_tpu.ops.attention import fused_block_attention
+
+    rng = np.random.RandomState(11)
+    B, N, H, d = 4, 16, 4, 64
+    C = H * d
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    gs = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    gb = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    wq = jnp.asarray((rng.randn(C, 3 * C) / np.sqrt(C)
+                      ).astype(np.float32)).astype(jnp.bfloat16)
+    bq = jnp.asarray(0.1 * rng.randn(3 * C).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    wp = jnp.asarray((rng.randn(C, C) / np.sqrt(C)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    bp = jnp.asarray(0.1 * rng.randn(C).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    scale = d ** -0.5
+    args = (x, gs, gb, wq, bq, wp, bp)
+
+    base = np.asarray(fused_block_attention(*args, H, scale, 14),
+                      np.float32)
+
+    monkeypatch.setenv("MMB_ATTN_SMAX", "defer")
+    defer = np.asarray(fused_block_attention(*args, H, scale, 14),
+                       np.float32)
+    monkeypatch.delenv("MMB_ATTN_SMAX")
+    rel = np.abs(defer - base).max() / np.abs(base).max()
+    assert rel < 1e-2, rel
+
+    monkeypatch.setenv("MMB_VIT_BLOCK_BM", "2")
+    bm2 = np.asarray(fused_block_attention(*args, H, scale, 14),
+                     np.float32)
+    assert np.array_equal(bm2, base)
+    # non-divisor bm falls back to 1
+    monkeypatch.setenv("MMB_VIT_BLOCK_BM", "3")
+    bm3 = np.asarray(fused_block_attention(*args, H, scale, 14),
+                     np.float32)
+    assert np.array_equal(bm3, base)
+
+
 def test_block_attention_param_tree_matches_vit():
     """The fused-block branch's _AttnParams/_LNParams aliases must
     declare the exact param tree ViTBlock's unfused path creates."""
