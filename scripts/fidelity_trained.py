@@ -283,12 +283,15 @@ def gates_vit(params, bstats, pool):
 
 def gates_resnext(params, bstats, pool):
     imgs, _, _, cls = pool
+    print("# base embed (compiles on first run; tunnel-side compiles "
+          "run minutes with no output)", flush=True)
     base = embed("resnext", params, bstats, imgs)
     for name, plan in (
             ("trunk_int8_committed(0,0,1,1)@trained",
              (False, False, True, True)),
             ("trunk_int8_full@trained", (True, True, True, True)),
     ):
+        print(f"# {name} embed...", flush=True)
         emb = embed("resnext", params, bstats, imgs, int8_plan=plan)
         report_gate(name, emb, base, cls)
 
