@@ -456,6 +456,9 @@ def main():
                 "wholeblock_kernel": os.environ.get("MMB_VIT_BLOCK", "0"),
                 "gelu": os.environ.get("MMB_VIT_GELU", "erf"),
                 "padseq": os.environ.get("MMB_VIT_PADSEQ", "1"),
+                "smax": __import__(
+                    "multimodal_baby_tpu.ops.attention",
+                    fromlist=["_smax_mode"])._smax_mode() or "exact",
             },
         }))
         return

@@ -26,12 +26,15 @@ def _interpret() -> bool:
 
 
 def _smax_mode() -> str:
-    """MMB_ATTN_SMAX: '' (exact, default), 'defer' (divide after the
-    value contraction — one [N,128] row-scale instead of two [N,N]
-    divides per pair; p is bf16-quantized pre- instead of
-    post-division), or 'ablate' (softmax REPLACED by a cast —
-    numerically WRONG, bench-only MXU/VPU decomposition knob)."""
-    return os.environ.get("MMB_ATTN_SMAX", "")
+    """MMB_ATTN_SMAX: 'defer' (default — divide after the value
+    contraction: one [N,128] row-scale instead of two [N,N] divides per
+    pair; p is bf16-quantized pre- instead of post-division, a
+    reassociation measured +3.2% end-to-end with every trained-weight
+    fidelity gate unchanged — BENCH_NOTES queue 19), '' (divide before
+    the contraction, the textbook order), or 'ablate' (softmax REPLACED
+    by a cast — numerically WRONG, bench-only MXU/VPU decomposition
+    knob)."""
+    return os.environ.get("MMB_ATTN_SMAX", "defer")
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,

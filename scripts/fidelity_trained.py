@@ -265,6 +265,7 @@ def gates_vit(params, bstats, pool):
     # round-5 committed default (block attention + fused MLP w/ rational
     # erfc GELU) is itself a gated row against it
     exact = {"MMB_FUSED_ATTN": "0", "MMB_VIT_MLP": ""}
+    print("# base embed (exact XLA path)...", flush=True)
     base = embed("vit", params, bstats, imgs, env=exact)
     for name, env in (
             ("vit_committed_default@trained", {}),
@@ -277,6 +278,7 @@ def gates_vit(params, bstats, pool):
             ("vit_gelu_sigmoid@trained", {"MMB_VIT_GELU": "sigmoid"}),
             ("vit_int8@trained", {"MMB_VIT_INT8": "1"}),
     ):
+        print(f"# {name} embed...", flush=True)
         emb = embed("vit", params, bstats, imgs, env=env)
         report_gate(name, emb, base, cls)
 

@@ -536,13 +536,14 @@ def test_block_attention_smax_and_bm_knobs(monkeypatch):
     scale = d ** -0.5
     args = (x, gs, gb, wq, bq, wp, bp)
 
+    monkeypatch.setenv("MMB_ATTN_SMAX", "")   # exact form, explicitly
     base = np.asarray(fused_block_attention(*args, H, scale, 14),
                       np.float32)
 
     monkeypatch.setenv("MMB_ATTN_SMAX", "defer")
     defer = np.asarray(fused_block_attention(*args, H, scale, 14),
                        np.float32)
-    monkeypatch.delenv("MMB_ATTN_SMAX")
+    monkeypatch.setenv("MMB_ATTN_SMAX", "")
     rel = np.abs(defer - base).max() / np.abs(base).max()
     assert rel < 1e-2, rel
 
